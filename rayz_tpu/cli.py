@@ -1,0 +1,80 @@
+"""Command-line renderer, mirroring the reference CLI
+(/root/reference/src/rayz.zig:12-43): positional image width, optional output
+path (default: PPM to stdout), timed render printing rays/s and us/ray in the
+reference's format (rayz.zig:30-34). Extras beyond the reference: scene
+selection, spp/depth/seed flags, PNG output by extension, and sharded
+multi-device rendering.
+
+Usage:
+    python -m rayz_tpu 512 out.ppm
+    python -m rayz_tpu 512 out.png --scene cornell_box --spp 64 --depth 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+
+from . import RenderConfig, render_jit, scenes, write_png, write_ppm
+from .parallel import make_mesh, render_sharded_jit
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rayz_tpu", description=__doc__)
+    p.add_argument("width", type=int, help="image width in pixels")
+    p.add_argument("output", nargs="?", default=None,
+                   help="output path (.ppm or .png); default: PPM to stdout")
+    p.add_argument("--scene", default="random_bouncing", choices=sorted(scenes.SCENES))
+    p.add_argument("--spp", type=int, default=10,
+                   help="samples per pixel (reference default 10)")
+    p.add_argument("--depth", type=int, default=50,
+                   help="max bounces (reference default 50)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--t-min", type=float, default=1e-3)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="rays per chunk (memory bound)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard pixels over all visible devices")
+    args = p.parse_args(argv)
+
+    scene, camera = scenes.SCENES[args.scene](width=args.width)
+    cfg = RenderConfig(spp=args.spp, max_depth=args.depth, t_min=args.t_min,
+                       chunk_size=args.chunk)
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.sharded:
+        mesh = make_mesh()
+        run = lambda: render_sharded_jit(scene, camera, key, cfg, mesh)
+    else:
+        run = lambda: render_jit(scene, camera, key, cfg)
+
+    # compile outside the timed region (the reference has no compile step)
+    run().block_until_ready()
+    st = time.perf_counter()
+    img = run()
+    img.block_until_ready()
+    dur = time.perf_counter() - st
+
+    # camera-ray count, matching the reference's metric (renderer.zig:90-92:
+    # one ray counted per pixel-sample)
+    rays = camera.height * camera.width * args.spp
+    print(
+        f"Finished render ({dur:.2f}s): {rays / dur:.2f} rps and "
+        f"{dur / rays * 1e6:.2f} us per ray",
+        file=sys.stderr,
+    )
+
+    if args.output is None:
+        write_ppm(img, sys.stdout.buffer)
+    elif args.output.endswith(".png"):
+        write_png(img, args.output)
+    else:
+        write_ppm(img, args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
