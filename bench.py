@@ -1,9 +1,15 @@
 """Headline benchmark: forward Mrays/s on the RTIOW-final scene.
 
-Config 3 of BASELINE.json: ~500 random spheres, 512x512, 64 spp, depth 32 —
-the reference's own live scene (/root/reference/src/rayz.zig:45-168). The
+Config 3 of BASELINE.json: ~500 random spheres (80% moving), 512x512, 64 spp,
+depth 32 — the reference's own live scene (/root/reference/src/rayz.zig:45-168)
+rendered by the fused Pallas megakernel (rayz_tpu/ops/megakernel.py). The
 metric matches the reference's self-reported counter (rayz.zig:26-34): one ray
-per pixel-sample (camera rays), divided by render wall-clock.
+per pixel-sample (camera rays) divided by render wall-clock.
+
+Timing note: on the tunneled TPU platform ``block_until_ready`` returns before
+execution finishes, so the sync point is ``jax.device_get`` of the full image
+(which a real renderer needs on the host anyway). Best of three runs,
+compile excluded.
 
 Prints ONE JSON line:
   {"metric": "fwd_mrays_per_s", "value": N, "unit": "Mrays/s", "vs_baseline": N}
@@ -11,8 +17,8 @@ Prints ONE JSON line:
 vs_baseline: the reference publishes no numbers (BASELINE.md) and no Zig
 toolchain exists in this image, so the baseline is a documented estimate of
 the reference's single-threaded CPU throughput at this config: ~1.0 Mrays/s
-(camera rays; ~1 us per ray for a ~500-sphere BVH path trace at 64 spp /
-depth 32 on a modern core — consistent with the us/ray the reference prints).
+(camera rays; ~1 us/ray for a ~500-sphere BVH path trace — consistent with
+the us/ray line the reference prints on a modern core).
 """
 
 from __future__ import annotations
@@ -29,25 +35,26 @@ REFERENCE_BASELINE_MRAYS = 1.0  # documented estimate, see module docstring
 WIDTH = 512
 SPP = 64
 DEPTH = 32
-CHUNK = 128 * 512  # rays per chunk: bounds [chunk, n_spheres] live buffers
 
 
 def main() -> None:
     scene, camera = rt.scenes.random_bouncing(width=WIDTH)
-    config = rt.RenderConfig(spp=SPP, max_depth=DEPTH, t_min=1e-3, chunk_size=CHUNK)
-    key = jax.random.PRNGKey(0)
+    config = rt.RenderConfig(spp=SPP, max_depth=DEPTH, t_min=1e-3)
 
-    # compile once outside the timed region
-    img = rt.render_jit(scene, camera, key, config)
-    img.block_until_ready()
+    def run(seed: int):
+        return jax.device_get(
+            rt.render_fast(scene, camera, seed, config, engine="auto"))
 
-    st = time.perf_counter()
-    img = rt.render_jit(scene, camera, jax.random.PRNGKey(1), config)
-    img.block_until_ready()
-    dur = time.perf_counter() - st
+    run(0)  # compile once outside the timed region
+
+    best = float("inf")
+    for seed in (1, 2, 3):
+        st = time.perf_counter()
+        run(seed)
+        best = min(best, time.perf_counter() - st)
 
     rays = camera.height * camera.width * SPP
-    mrays = rays / dur / 1e6
+    mrays = rays / best / 1e6
     print(json.dumps({
         "metric": "fwd_mrays_per_s",
         "value": round(mrays, 3),

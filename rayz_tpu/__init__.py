@@ -15,7 +15,8 @@ from .models import (
     make_camera,
 )
 from .models import scenes
-from .ops import RenderConfig, render, render_jit, trace_rays
+from .ops import (RenderConfig, render, render_fast, render_jit,
+                  render_pallas, trace_rays)
 from .io import read_ppm, to_u8, write_png, write_ppm
 
 __version__ = "0.1.0"
@@ -30,6 +31,8 @@ __all__ = [
     "RenderConfig",
     "render",
     "render_jit",
+    "render_fast",
+    "render_pallas",
     "trace_rays",
     "to_u8",
     "write_ppm",

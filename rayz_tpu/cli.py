@@ -18,7 +18,8 @@ import time
 
 import jax
 
-from . import RenderConfig, render_jit, scenes, write_png, write_ppm
+from . import RenderConfig, render_fast, render_jit, scenes, write_png, write_ppm
+from .ops.engine import pick_engine
 from .parallel import make_mesh, render_sharded_jit
 
 
@@ -38,6 +39,9 @@ def main(argv=None) -> int:
                    help="rays per chunk (memory bound)")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels over all visible devices")
+    p.add_argument("--engine", default="auto", choices=("auto", "pallas", "xla"),
+                   help="render engine: fused Pallas megakernel (TPU, sphere "
+                        "scenes) or the pure-XLA integrator")
     args = p.parse_args(argv)
 
     scene, camera = scenes.SCENES[args.scene](width=args.width)
@@ -49,13 +53,15 @@ def main(argv=None) -> int:
         mesh = make_mesh()
         run = lambda: render_sharded_jit(scene, camera, key, cfg, mesh)
     else:
-        run = lambda: render_jit(scene, camera, key, cfg)
+        engine = pick_engine(scene, args.engine)
+        run = lambda: render_fast(scene, camera, key, cfg, engine=engine)
 
-    # compile outside the timed region (the reference has no compile step)
-    run().block_until_ready()
+    # Compile outside the timed region (the reference has no compile step).
+    # jax.device_get is the sync: on the tunneled TPU platform
+    # block_until_ready returns before execution finishes.
+    jax.device_get(run())
     st = time.perf_counter()
-    img = run()
-    img.block_until_ready()
+    img = jax.device_get(run())
     dur = time.perf_counter() - st
 
     # camera-ray count, matching the reference's metric (renderer.zig:90-92:

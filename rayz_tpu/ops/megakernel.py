@@ -1,0 +1,544 @@
+"""Pallas TPU megakernel: the whole path trace in one fused kernel.
+
+TPU-native replacement for the reference's hot loop — ``Tracer.render``'s
+row/col/sample triple loop plus the recursive ``bounceRay``
+(/root/reference/src/renderer.zig:72-126) — as a single Pallas kernel per ray
+tile (SURVEY.md §7 build stage 5). The pure-XLA integrator
+(:mod:`rayz_tpu.ops.integrator`) materializes [rays, spheres] intermediates in
+HBM every bounce and is bandwidth-bound; this kernel keeps all ray state and
+the whole scene SoA on-chip (VMEM/SMEM/vector registers), so it is
+compute-bound on the VPU.
+
+Design
+------
+* **Ray layout [RS, 128]**: rays fill both sublanes and lanes, so *every*
+  per-ray op runs at full VPU width (1024 f32 lanes/cycle). The intersection
+  is a ``fori_loop`` over spheres — per iteration, one sphere (scalars from
+  SMEM) is tested against all RS*128 rays — rather than a [rays, spheres]
+  matrix, which would force per-ray scalars onto 1/128th of the VPU.
+* **Persistent-ray respawn**: the reference traces each pixel sample to
+  completion before starting the next; a masked SIMT port of that wastes
+  lanes on dead rays (most paths die in 2-4 bounces while ``max_depth`` is
+  32-50). Here every lane owns one pixel and immediately respawns the next
+  camera sample (fresh jitter/defocus/time) when its path dies, so lane
+  utilization stays near 100% until the tail of the sample budget.
+* **Winner tracking by select**: Mosaic has no vector gather, so the sphere
+  loop carries the running-best hit's attributes (effective center, material
+  kind/fuzz/ior, checker colors) via ``where(better, ...)`` selects on SMEM
+  scalars — the TPU analogue of the BVH's shrinking-tmax nearest-hit update
+  (hit.zig:197-214).
+* **In-kernel PRNG**: ``pltpu.prng_random_bits`` per tile stream (seeded by
+  ``seed + tile``), replacing the reference's xoshiro (renderer.zig:55-59).
+  Distribution-parity, not bit-parity (SURVEY.md §7 "RNG parity").
+
+Scope: sphere scenes with solid / one-level checker textures (everything the
+reference can express — its checker children are always solid,
+rayz.zig:57-66). Triangle scenes and deeper texture nests fall back to the
+XLA integrator, which is also the differentiable path (this kernel is
+forward-only).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.camera import Camera
+from ..models.scene import (
+    MAT_DIELECTRIC,
+    MAT_METALLIC,
+    TEX_SOLID,
+    Scene,
+)
+
+__all__ = ["render_pallas", "supports_scene", "scene_tables", "is_prng_key"]
+
+
+def is_prng_key(key) -> bool:
+    """True for new-style typed keys AND legacy uint32[..., 2] raw keys."""
+    if not hasattr(key, "dtype"):
+        return False
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return True
+    return (jnp.issubdtype(key.dtype, jnp.unsignedinteger)
+            and getattr(key, "ndim", 0) >= 1 and key.shape[-1] == 2)
+
+# SMEM scene-table row indices (one f32 row per attribute, columns = spheres).
+_CX, _CY, _CZ, _CCMR2 = 0, 1, 2, 3
+_VX, _VY, _VZ, _CV2, _VV = 4, 5, 6, 7, 8
+_PKF, _IOS = 9, 10  # packed (kind*4+method)*4 + 2*fuzz; ior-or-scale
+_EVR, _EVG, _EVB, _ODR, _ODG, _ODB = 11, 12, 13, 14, 15, 16
+_NROWS = 17
+
+_BIG = 3.0e38  # stand-in for +inf (t on miss)
+_TWO_PI = 2.0 * math.pi
+
+
+def supports_scene(scene: Scene) -> bool:
+    """Static (shape-level) eligibility: spheres only. Texture nesting depth
+    is a value-level property; one level of checker is resolved in
+    :func:`scene_tables` and deeper nests degrade to the child's base color
+    (matching the XLA path's own finite unroll fallback, shade.py)."""
+    return scene.n_triangles == 0 and scene.n_spheres > 0
+
+
+def scene_tables(scene: Scene) -> jnp.ndarray:
+    """Flatten the scene SoA into the [_NROWS, N] f32 SMEM table the kernel
+    consumes: per-sphere geometry (center/velocity/|c|^2 - r^2 with padding
+    lanes pushed to +inf-ish so they never win) joined with the sphere's
+    material and one-level-resolved texture (material.zig:41-51: checker
+    children are looked up through the pool; solid is its own color)."""
+    f32 = jnp.float32
+    c = scene.sphere_center.astype(f32)
+    v = scene.sphere_velocity.astype(f32)
+    r = scene.sphere_radius.astype(f32)
+
+    ccmr2 = jnp.sum(c * c, axis=1) - r * r
+    ccmr2 = jnp.where(scene.sphere_valid, ccmr2, _BIG)  # padding never hits
+    cv2 = 2.0 * jnp.sum(c * v, axis=1)
+    vv = jnp.sum(v * v, axis=1)
+
+    mat = scene.sphere_material
+    kind = scene.mat_kind[mat].astype(f32)
+    method = scene.mat_method[mat].astype(f32)
+    fuzz = scene.mat_fuzz[mat].astype(f32)
+    ior = scene.mat_ior[mat].astype(f32)
+
+    tex = scene.mat_texture[mat]
+    solid = scene.tex_kind[tex] == TEX_SOLID
+    base = scene.tex_color[tex].astype(f32)
+    even = scene.tex_color[scene.tex_even[tex]].astype(f32)
+    odd = scene.tex_color[scene.tex_odd[tex]].astype(f32)
+    ev = jnp.where(solid[:, None], base, even)
+    od = jnp.where(solid[:, None], base, odd)
+    scale = jnp.where(solid, 1.0, scene.tex_scale[tex].astype(f32))
+
+    # Pack (kind, method, fuzz) into one float: 6 integer bits + the fuzz
+    # fraction. Fuzz loses ~5 mantissa bits (<4e-6 absolute) — far below
+    # visual or test tolerance; kind/method decode exactly. ior and checker
+    # scale are mutually exclusive by material kind (dielectrics have no
+    # texture, material.zig:155; others ignore ior), so they share one row.
+    pkf = (kind * 4.0 + method) * 4.0 + 2.0 * jnp.minimum(fuzz, 1.0)
+    ios = jnp.where(kind == float(MAT_DIELECTRIC), ior, scale)
+    return jnp.stack([
+        c[:, 0], c[:, 1], c[:, 2], ccmr2,
+        v[:, 0], v[:, 1], v[:, 2], cv2, vv,
+        pkf, ios,
+        ev[:, 0], ev[:, 1], ev[:, 2], od[:, 0], od[:, 1], od[:, 2],
+    ])
+
+
+def _camera_vector(camera: Camera) -> jnp.ndarray:
+    """[18] f32: look_from, px_du, px_dv, px_origin, defocus_u, defocus_v."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        camera.look_from.astype(f32), camera.px_du.astype(f32),
+        camera.px_dv.astype(f32), camera.px_origin.astype(f32),
+        camera.defocus_u.astype(f32), camera.defocus_v.astype(f32),
+    ])
+
+
+def _kernel(cam_ref, tab_ref, seed_ref, r_ref, g_ref, b_ref, *,
+            width: int, height: int, n_pad: int, spp: int,
+            max_depth: int, t_min: float, jitter: bool, has_motion: bool,
+            rs: int):
+    """One grid step = one tile of rs*128 persistent ray slots."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    shape = (rs, 128)
+    tile = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], tile)
+
+    def uniform():
+        # 23 uniform bits -> [0, 1). Mask in int32 (prng bits are signed);
+        # exactly representable in f32.
+        bits = pltpu.prng_random_bits(shape)
+        return (bits & 0x7FFFFF).astype(f32) * (2.0 ** -23)
+
+    def gauss3():
+        # Box-Muller: three N(0,1) draws from four uniforms.
+        u1 = jnp.maximum(uniform(), 1e-12)
+        u2 = uniform()
+        u3 = jnp.maximum(uniform(), 1e-12)
+        u4 = uniform()
+        r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+        r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+        a1 = _TWO_PI * u2
+        a2 = _TWO_PI * u4
+        return r1 * jnp.cos(a1), r1 * jnp.sin(a1), r2 * jnp.cos(a2)
+
+    def unit3():
+        gx, gy, gz = gauss3()
+        inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-24))
+        return gx * inv, gy * inv, gz * inv
+
+    # Slot -> pixel (row-major, renderer.zig:80-96 layout).
+    sub = jax.lax.broadcasted_iota(i32, shape, 0)
+    lane = jax.lax.broadcasted_iota(i32, shape, 1)
+    pix = (tile * rs + sub) * 128 + lane
+    in_image = pix < (width * height)
+    pxf = (pix % width).astype(f32)
+    pyf = (pix // width).astype(f32)
+
+    cam = [cam_ref[i] for i in range(18)]
+    (lfx, lfy, lfz, dux, duy, duz, dvx, dvy, dvz,
+     pox, poy, poz, deux, deuy, deuz, devx, devy, devz) = cam
+
+    zf = jnp.zeros(shape, f32)
+    zi = jnp.zeros(shape, i32)
+
+    state = (
+        zf, zf, zf,            # origin
+        zf, zf, zf + 1.0,      # direction (placeholder non-zero)
+        zf,                    # time
+        zf, zf, zf,            # throughput
+        zf, zf, zf,            # radiance accumulator
+        zi,                    # scatters remaining
+        jnp.where(in_image, spp, 0).astype(i32),  # samples remaining
+        zi,                    # active (i32 0/1: Mosaic can't carry i1 vectors)
+    )
+
+    def alive(st):
+        act, samp = st[15], st[14]
+        return jnp.any((act > 0) | (samp > 0))
+
+    def body(st):
+        (ox, oy, oz, dx, dy, dz, tau, thx, thy, thz,
+         ar, ag, ab, depth, samples, active_i) = st
+        active = active_i > 0
+
+        # ---- respawn dead slots with the next camera sample ----
+        # (Camera.getRay, camera.zig:59-77: +-0.5 pixel jitter, defocus-disk
+        # origin, time in [0,1); polar disk sample replaces rejection.)
+        spawn = (~active) & (samples > 0)
+        if jitter:
+            x = pxf + uniform() - 0.5
+            y = pyf + uniform() - 0.5
+            rr = jnp.sqrt(uniform())
+            th = _TWO_PI * uniform()
+            ca, sa = jnp.cos(th), jnp.sin(th)
+            nox = lfx + rr * (ca * deux + sa * devx)
+            noy = lfy + rr * (ca * deuy + sa * devy)
+            noz = lfz + rr * (ca * deuz + sa * devz)
+            ntau = uniform()
+        else:
+            x, y = pxf, pyf
+            nox, noy, noz = (jnp.broadcast_to(v, shape) for v in (lfx, lfy, lfz))
+            ntau = zf
+        ndx = x * dux + y * dvx + pox - nox
+        ndy = x * duy + y * dvy + poy - noy
+        ndz = x * duz + y * dvz + poz - noz
+
+        ox = jnp.where(spawn, nox, ox)
+        oy = jnp.where(spawn, noy, oy)
+        oz = jnp.where(spawn, noz, oz)
+        dx = jnp.where(spawn, ndx, dx)
+        dy = jnp.where(spawn, ndy, dy)
+        dz = jnp.where(spawn, ndz, dz)
+        tau = jnp.where(spawn, ntau, tau)
+        thx = jnp.where(spawn, 1.0, thx)
+        thy = jnp.where(spawn, 1.0, thy)
+        thz = jnp.where(spawn, 1.0, thz)
+        depth = jnp.where(spawn, max_depth, depth)
+        samples = samples - spawn.astype(i32)
+        active = active | spawn
+
+        # ---- nearest-hit sphere loop (Sphere.hitInner, geom.zig:38-66) ----
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        d_dot_o = dx * ox + dy * oy + dz * oz
+        o2 = ox * ox + oy * oy + oz * oz
+        tmin_a = t_min * a  # root tests run in q = t*a space: saves two
+        #                     inv_a multiplies per sphere (a > 0 always)
+        if has_motion:
+            tau2 = tau * tau
+
+        hit0 = (
+            jnp.full(shape, _BIG, f32),  # q_best = t_best * a
+            zf, zf, zf,                  # winner center (at ray time)
+            zf, zf,                      # packed kind/method/fuzz, ior-or-scale
+            zf, zf, zf, zf, zf, zf,      # even rgb, odd rgb
+        )
+
+        def one_sphere(j, h):
+            (qb, bcx, bcy, bcz, bpk, bios,
+             ber, beg, beb, bor_, bog, bob) = h
+            cx = tab_ref[_CX, j]
+            cy = tab_ref[_CY, j]
+            cz = tab_ref[_CZ, j]
+            ccmr2 = tab_ref[_CCMR2, j]
+            if has_motion:
+                cxe = cx + tau * tab_ref[_VX, j]
+                cye = cy + tau * tab_ref[_VY, j]
+                cze = cz + tau * tab_ref[_VZ, j]
+                ccmr2 = ccmr2 + tab_ref[_CV2, j] * tau + tab_ref[_VV, j] * tau2
+            else:
+                cxe, cye, cze = cx, cy, cz
+            half_b = dx * cxe + dy * cye + dz * cze - d_dot_o
+            o_dot_c = ox * cxe + oy * cye + oz * cze
+            c_term = ccmr2 - 2.0 * o_dot_c + o2
+            disc = half_b * half_b - a * c_term
+            # No disc >= 0 mask: sqrt(negative) = NaN and every NaN compare
+            # below is false, so misses reject themselves. Padding lanes have
+            # ccmr2 = 3e38 -> disc = -inf -> NaN -> never win.
+            rt = jnp.sqrt(disc)
+            q1 = half_b - rt
+            q2 = half_b + rt
+            # nearest root in [t_min, t_best); second root only if the first
+            # is out of range (geom.zig:52-60 with the BVH's shrinking tmax).
+            # q2 >= q1, so if q1 is in range it is the answer; if q1 >= qb the
+            # sphere cannot win either way.
+            qv = jnp.where(q1 >= tmin_a, q1, q2)
+            better = (qv >= tmin_a) & (qv < qb)
+            qb = jnp.where(better, qv, qb)
+            bcx = jnp.where(better, cxe, bcx)
+            bcy = jnp.where(better, cye, bcy)
+            bcz = jnp.where(better, cze, bcz)
+            bpk = jnp.where(better, tab_ref[_PKF, j], bpk)
+            bios = jnp.where(better, tab_ref[_IOS, j], bios)
+            ber = jnp.where(better, tab_ref[_EVR, j], ber)
+            beg = jnp.where(better, tab_ref[_EVG, j], beg)
+            beb = jnp.where(better, tab_ref[_EVB, j], beb)
+            bor_ = jnp.where(better, tab_ref[_ODR, j], bor_)
+            bog = jnp.where(better, tab_ref[_ODG, j], bog)
+            bob = jnp.where(better, tab_ref[_ODB, j], bob)
+            return (qb, bcx, bcy, bcz, bpk, bios,
+                    ber, beg, beb, bor_, bog, bob)
+
+        # 2-way unrolled over the PADDED sphere count: two independent
+        # dependency chains per iteration for VPU ILP; padding lanes are
+        # self-rejecting (see NaN note above).
+        def sphere_body(i, h):
+            return one_sphere(2 * i + 1, one_sphere(2 * i, h))
+
+        (qb, bcx, bcy, bcz, bpk, bios,
+         ber, beg, beb, bor_, bog, bob) = jax.lax.fori_loop(
+            0, (n_pad + 1) // 2, sphere_body, hit0)
+
+        # decode winner attributes
+        hit = qb < _BIG
+        tb = qb * inv_a
+        ts = jnp.where(hit, tb, 1.0)
+        bkm = jnp.floor(bpk * 0.25)
+        bfz = (bpk - 4.0 * bkm) * 0.5
+        px_ = ox + ts * dx
+        py_ = oy + ts * dy
+        pz_ = oz + ts * dz
+
+        # outward normal = unit(p - c) (geom.zig:64), flipped to oppose the
+        # ray (Hit.init, hit.zig:31-34)
+        nx = px_ - bcx
+        ny = py_ - bcy
+        nz = pz_ - bcz
+        ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        ndd = nx * dx + ny * dy + nz * dz
+        front = ndd < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+        kind = jnp.floor(bkm * 0.25)
+        method = bkm - 4.0 * kind
+        is_d_kind = kind == float(MAT_DIELECTRIC)
+        bio = bios                                   # ior (dielectric only)
+        bsc = jnp.where(is_d_kind, 1.0, bios)        # checker scale otherwise
+
+        # checker albedo (CheckerTexture, material.zig:27-39): floor-parity of
+        # p/scale selects even/odd; solid textures have even == odd.
+        isc = 1.0 / bsc
+        par = (jnp.floor(px_ * isc) + jnp.floor(py_ * isc)
+               + jnp.floor(pz_ * isc))
+        even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
+        alr = jnp.where(even_par, ber, bor_)
+        alg = jnp.where(even_par, beg, bog)
+        alb = jnp.where(even_par, beb, bob)
+
+        # ---- diffuse (material.zig:75-101) ----
+        ux, uy, uz = unit3()
+        # u^(1/3) via exp/log (no cbrt lowering in Mosaic); u > 0 enforced.
+        cb = jnp.exp(jnp.log(jnp.maximum(uniform(), 1e-24)) * (1.0 / 3.0))
+        sx, sy, sz = ux * cb, uy * cb, uz * cb  # in unit ball
+        flip = jnp.where(sx * nx + sy * ny + sz * nz > 0.0, 1.0, -1.0)
+        m0 = method == 0.0  # UNIT_SPHERE
+        m1 = method == 1.0  # UNIT_SPHERE_SURFACE
+        offx = jnp.where(m0, nx + sx, jnp.where(m1, nx + ux, sx * flip))
+        offy = jnp.where(m0, ny + sy, jnp.where(m1, ny + uy, sy * flip))
+        offz = jnp.where(m0, nz + sz, jnp.where(m1, nz + uz, sz * flip))
+        # reference quirk (material.zig:85-86): near-zero check on the target
+        # POINT; a near-origin target snaps to the bare normal.
+        tgx, tgy, tgz = px_ + offx, py_ + offy, pz_ + offz
+        nz_tgt = ((jnp.abs(tgx) <= 1e-8) & (jnp.abs(tgy) <= 1e-8)
+                  & (jnp.abs(tgz) <= 1e-8))
+        tgx = jnp.where(nz_tgt, nx, tgx)
+        tgy = jnp.where(nz_tgt, ny, tgy)
+        tgz = jnp.where(nz_tgt, nz, tgz)
+        difx, dify, difz = tgx - px_, tgy - py_, tgz - pz_
+
+        # ---- metallic (material.zig:107-131) ----
+        two_ndd = 2.0 * (dx * nx + dy * ny + dz * nz)
+        rfx = dx - two_ndd * nx
+        rfy = dy - two_ndd * ny
+        rfz = dz - two_ndd * nz
+        rinv = jax.lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz,
+                                         1e-24))
+        fz = jnp.minimum(bfz, 1.0)
+        # fuzz perturbation reuses the diffuse unit sample: a ray evaluates
+        # exactly one material, so the streams never mix.
+        mex = rfx * rinv + fz * ux
+        mey = rfy * rinv + fz * uy
+        mez = rfz * rinv + fz * uz
+        metal_ok = mex * nx + mey * ny + mez * nz > 0.0
+
+        # ---- dielectric (material.zig:136-159) ----
+        eta = jnp.where(front, 1.0 / bio, bio)
+        dinv = jax.lax.rsqrt(jnp.maximum(a, 1e-24))
+        udx, udy, udz = dx * dinv, dy * dinv, dz * dinv
+        cos_t = -(udx * nx + udy * ny + udz * nz)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        cannot = eta * sin_t > 1.0
+        r0 = (1.0 - eta) / (1.0 + eta)
+        r0 = r0 * r0
+        om = 1.0 - cos_t
+        om2 = om * om
+        refl_p = r0 + (1.0 - r0) * om2 * om2 * om
+        do_refl = cannot | (refl_p > uniform())
+        ppx = (udx + cos_t * nx) * eta
+        ppy = (udy + cos_t * ny) * eta
+        ppz = (udz + cos_t * nz) * eta
+        parm = -jnp.sqrt(jnp.maximum(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz),
+                                     0.0))
+        # reflect uses the NON-unit incoming dir, refract the unit dir
+        # (material.zig:146,152) — reproduced as-is.
+        dlx = jnp.where(do_refl, rfx, ppx + parm * nx)
+        dly = jnp.where(do_refl, rfy, ppy + parm * ny)
+        dlz = jnp.where(do_refl, rfz, ppz + parm * nz)
+
+        # ---- select by material kind (material.zig:167-176) ----
+        is_m = kind == float(MAT_METALLIC)
+        is_d = is_d_kind
+        ndirx = jnp.where(is_d, dlx, jnp.where(is_m, mex, difx))
+        ndiry = jnp.where(is_d, dly, jnp.where(is_m, mey, dify))
+        ndirz = jnp.where(is_d, dlz, jnp.where(is_m, mez, difz))
+        atr = jnp.where(is_d, 1.0, alr)
+        atg = jnp.where(is_d, 1.0, alg)
+        atb = jnp.where(is_d, 1.0, alb)
+        # Degenerate scatter guard: a near-cancelling direction (e.g. diffuse
+        # normal + unit sample ~ 0) underflows |d|^2, which would alias a
+        # spurious hit at t ~ 1/|d|^2 into an inf point and NaN normal on the
+        # next bounce. Probability ~0 per ray; treat as absorbed.
+        nd2 = ndirx * ndirx + ndiry * ndiry + ndirz * ndirz
+        scattered = ((~is_m) | metal_ok) & (nd2 > 1e-20)
+
+        # ---- miss -> sky, weighted by throughput (renderer.zig:124-125);
+        # note the reference's exact formula: (white*(1-t) + blue) * t ----
+        sky_t = 0.5 * (dy * dinv + 1.0)
+        skyr = (1.0 - sky_t + 0.5) * sky_t
+        skyg = (1.0 - sky_t + 0.7) * sky_t
+        skyb = (1.0 - sky_t + 1.0) * sky_t
+        miss = active & ~hit
+        ar = ar + jnp.where(miss, thx * skyr, 0.0)
+        ag = ag + jnp.where(miss, thy * skyg, 0.0)
+        ab = ab + jnp.where(miss, thz * skyb, 0.0)
+
+        # ---- continue or die (bounceRay, renderer.zig:103-126) ----
+        cont = active & hit & scattered
+        thx = jnp.where(cont, thx * atr, thx)
+        thy = jnp.where(cont, thy * atg, thy)
+        thz = jnp.where(cont, thz * atb, thz)
+        ox = jnp.where(cont, px_, ox)
+        oy = jnp.where(cont, py_, oy)
+        oz = jnp.where(cont, pz_, oz)
+        dx = jnp.where(cont, ndirx, dx)
+        dy = jnp.where(cont, ndiry, dy)
+        dz = jnp.where(cont, ndirz, dz)
+        depth = depth - cont.astype(i32)
+        # depth exhausted -> black (bounceRay depth==0, renderer.zig:104-105)
+        active = cont & (depth > 0)
+
+        return (ox, oy, oz, dx, dy, dz, tau, thx, thy, thz,
+                ar, ag, ab, depth, samples, active.astype(i32))
+
+    final = jax.lax.while_loop(alive, body, state)
+    r_ref[:] = final[10]
+    g_ref[:] = final[11]
+    b_ref[:] = final[12]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_depth", "t_min", "jitter", "tile_sublanes",
+                     "interpret"),
+)
+def _render_pallas_impl(scene: Scene, camera: Camera, seed, *, spp: int,
+                        max_depth: int, t_min: float, jitter: bool,
+                        tile_sublanes: int, interpret: bool):
+    rs = tile_sublanes
+    h, w = camera.height, camera.width
+    n_px = h * w
+    n_tiles = -(-n_px // (rs * 128))
+    nsub = n_tiles * rs
+
+    tab = scene_tables(scene)
+    cam = _camera_vector(camera)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
+
+    kern = functools.partial(
+        _kernel, width=w, height=h, n_pad=int(scene.sphere_radius.shape[0]),
+        spp=spp,
+        max_depth=max_depth, t_min=t_min, jitter=jitter,
+        has_motion=scene.has_motion, rs=rs)
+
+    out_shape = jax.ShapeDtypeStruct((nsub, 128), jnp.float32)
+    out_spec = pl.BlockSpec((rs, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    r, g, b = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera vector
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scene tables
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        ],
+        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=(out_spec, out_spec, out_spec),
+        interpret=interpret,
+    )(cam, tab, seed_arr)
+
+    img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+    img = img[:n_px].reshape(h, w, 3) / float(spp)
+    return img.astype(camera.dtype)
+
+
+def render_pallas(scene: Scene, camera: Camera, key, config, *,
+                  tile_sublanes: int = 16,
+                  interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Render via the fused Pallas megakernel; drop-in for
+    :func:`rayz_tpu.ops.integrator.render` on supported scenes.
+
+    ``key`` may be a PRNG key (folded to a seed) or an integer seed.
+    ``interpret`` defaults to True off-TPU so tests can run the kernel on the
+    CPU backend.
+    """
+    if not supports_scene(scene):
+        raise ValueError(
+            "megakernel supports sphere-only scenes; use the XLA integrator "
+            "(rayz_tpu.render) for triangle scenes")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if interpret is True:
+        # TPU-semantics interpreter (plain interpret=True cannot emulate the
+        # pltpu PRNG). NOTE: the interpreter stubs prng_random_bits to zeros,
+        # so off-TPU use is for deterministic (jitter=False) configs/tests.
+        interpret = pltpu.InterpretParams()
+    seed = key if not is_prng_key(key) else jax.random.randint(
+        key, (), 0, jnp.iinfo(jnp.int32).max)
+    return _render_pallas_impl(
+        scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
+        t_min=config.t_min, jitter=config.jitter,
+        tile_sublanes=tile_sublanes, interpret=interpret)
