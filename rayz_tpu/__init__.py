@@ -16,7 +16,7 @@ from .models import (
 )
 from .models import scenes
 from .ops import (RenderConfig, render, render_fast, render_jit,
-                  render_pallas, trace_rays)
+                  render_pallas, render_pallas_sharded, trace_rays)
 from .io import read_ppm, to_u8, write_png, write_ppm
 
 __version__ = "0.1.0"
@@ -33,6 +33,7 @@ __all__ = [
     "render_jit",
     "render_fast",
     "render_pallas",
+    "render_pallas_sharded",
     "trace_rays",
     "to_u8",
     "write_ppm",

@@ -49,11 +49,15 @@ def main(argv=None) -> int:
                        chunk_size=args.chunk)
     key = jax.random.PRNGKey(args.seed)
 
+    engine = pick_engine(scene, args.engine)
     if args.sharded:
+        from .ops.megakernel import render_pallas_sharded
         mesh = make_mesh()
-        run = lambda: render_sharded_jit(scene, camera, key, cfg, mesh)
+        if engine == "pallas":
+            run = lambda: render_pallas_sharded(scene, camera, key, cfg, mesh)
+        else:
+            run = lambda: render_sharded_jit(scene, camera, key, cfg, mesh)
     else:
-        engine = pick_engine(scene, args.engine)
         run = lambda: render_fast(scene, camera, key, cfg, engine=engine)
 
     # Compile outside the timed region (the reference has no compile step).

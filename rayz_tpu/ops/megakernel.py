@@ -57,7 +57,8 @@ from ..models.scene import (
     Scene,
 )
 
-__all__ = ["render_pallas", "supports_scene", "scene_tables", "is_prng_key"]
+__all__ = ["render_pallas", "render_pallas_sharded", "supports_scene",
+           "scene_tables", "is_prng_key"]
 
 
 def is_prng_key(key) -> bool:
@@ -154,6 +155,7 @@ def _kernel(cam_ref, tab_ref, seed_ref, r_ref, g_ref, b_ref, *,
     shape = (rs, 128)
     tile = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], tile)
+    pix_off = seed_ref[1]  # first global pixel of this device's shard
 
     def uniform():
         # 23 uniform bits -> [0, 1). Mask in int32 (prng bits are signed);
@@ -181,7 +183,7 @@ def _kernel(cam_ref, tab_ref, seed_ref, r_ref, g_ref, b_ref, *,
     # Slot -> pixel (row-major, renderer.zig:80-96 layout).
     sub = jax.lax.broadcasted_iota(i32, shape, 0)
     lane = jax.lax.broadcasted_iota(i32, shape, 1)
-    pix = (tile * rs + sub) * 128 + lane
+    pix = pix_off + (tile * rs + sub) * 128 + lane
     in_image = pix < (width * height)
     pxf = (pix % width).astype(f32)
     pyf = (pix // width).astype(f32)
@@ -472,23 +474,23 @@ def _kernel(cam_ref, tab_ref, seed_ref, r_ref, g_ref, b_ref, *,
     b_ref[:] = final[12]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spp", "max_depth", "t_min", "jitter", "tile_sublanes",
-                     "unroll", "interpret"),
-)
-def _render_pallas_impl(scene: Scene, camera: Camera, seed, *, spp: int,
-                        max_depth: int, t_min: float, jitter: bool,
-                        tile_sublanes: int, unroll: int, interpret: bool):
+def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
+                 *, spp: int, max_depth: int, t_min: float, jitter: bool,
+                 tile_sublanes: int, unroll: int, interpret):
+    """Trace ``n_local`` consecutive pixels starting at global index
+    ``pix_offset``; returns flat [n_local, 3] radiance sums (divide by spp for
+    the image). This is the unit a device shard executes under shard_map."""
     rs = tile_sublanes
     h, w = camera.height, camera.width
-    n_px = h * w
-    n_tiles = -(-n_px // (rs * 128))
+    n_tiles = -(-n_local // (rs * 128))
     nsub = n_tiles * rs
 
     tab = scene_tables(scene)
     cam = _camera_vector(camera)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
+    seed_arr = jnp.stack([
+        jnp.asarray(seed, jnp.int32).reshape(()),
+        jnp.asarray(pix_offset, jnp.int32).reshape(()),
+    ])
 
     kern = functools.partial(
         _kernel, width=w, height=h, n_pad=int(scene.sphere_radius.shape[0]),
@@ -505,16 +507,31 @@ def _render_pallas_impl(scene: Scene, camera: Camera, seed, *, spp: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # camera vector
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scene tables
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (seed, pixel offset)
         ],
         out_shape=(out_shape, out_shape, out_shape),
         out_specs=(out_spec, out_spec, out_spec),
         interpret=interpret,
     )(cam, tab, seed_arr)
 
-    img = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
-    img = img[:n_px].reshape(h, w, 3) / float(spp)
-    return img.astype(camera.dtype)
+    flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+    return flat[:n_local]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_depth", "t_min", "jitter", "tile_sublanes",
+                     "unroll", "interpret"),
+)
+def _render_pallas_impl(scene: Scene, camera: Camera, seed, *, spp: int,
+                        max_depth: int, t_min: float, jitter: bool,
+                        tile_sublanes: int, unroll: int, interpret: bool):
+    h, w = camera.height, camera.width
+    flat = _trace_shard(
+        scene, camera, seed, 0, h * w, spp=spp, max_depth=max_depth,
+        t_min=t_min, jitter=jitter, tile_sublanes=tile_sublanes,
+        unroll=unroll, interpret=interpret)
+    return (flat.reshape(h, w, 3) / float(spp)).astype(camera.dtype)
 
 
 def render_pallas(scene: Scene, camera: Camera, key, config, *,
@@ -546,3 +563,67 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
         scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
         t_min=config.t_min, jitter=config.jitter,
         tile_sublanes=tile_sublanes, unroll=unroll, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "tile_sublanes", "unroll", "interp"),
+)
+def _render_sharded_impl(scene: Scene, camera: Camera, seed, *, config, mesh,
+                         tile_sublanes: int, unroll: int, interp: bool):
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover - older JAX
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    interpret = pltpu.InterpretParams() if interp else False
+    axis = mesh.axis_names[0]
+    n_dev = mesh.size
+    h, w = camera.height, camera.width
+    n_px = h * w
+    shard_px = -(-n_px // n_dev)
+
+    def body(scene, camera, seed):
+        idx = jax.lax.axis_index(axis)
+        # decorrelate device streams (Weyl step, wraps mod 2^32)
+        dseed = seed + idx * jnp.int32(-1640531527)
+        return _trace_shard(
+            scene, camera, dseed, idx * shard_px, shard_px,
+            spp=config.spp, max_depth=config.max_depth, t_min=config.t_min,
+            jitter=config.jitter, tile_sublanes=tile_sublanes, unroll=unroll,
+            interpret=interpret)
+
+    # check_vma=False: pallas_call out_shapes carry no vma info, and the
+    # body is collective-free (pure per-shard compute), so there is nothing
+    # for the varying-manual-axes checker to verify.
+    fn = _shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                    out_specs=P(axis), check_vma=False)
+    flat = fn(scene, camera, seed)  # [shard_px * n_dev, 3]
+    img = flat[:n_px].reshape(h, w, 3) / float(config.spp)
+    return img.astype(camera.dtype)
+
+
+def render_pallas_sharded(scene: Scene, camera: Camera, key, config, mesh, *,
+                          tile_sublanes: int = 16, unroll: int = 8,
+                          interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Megakernel render with pixels sharded over a 1-D device mesh.
+
+    Forward rendering is embarrassingly parallel over pixels (SURVEY.md §2
+    parallelism plan): each device traces a contiguous block of the flat
+    pixel array with its own kernel launch and PRNG stream (seed folded with
+    the device index), and the image assembly is XLA's sharded output layout
+    — zero collectives. The multi-host path composes with
+    ``rayz_tpu.parallel.multihost`` exactly like the XLA renderer.
+    """
+    if not supports_scene(scene):
+        raise ValueError("megakernel supports sphere-only scenes")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if is_prng_key(key):
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+    else:
+        seed = jnp.asarray(key, jnp.int32)
+    return _render_sharded_impl(
+        scene, camera, seed, config=config, mesh=mesh,
+        tile_sublanes=tile_sublanes, unroll=unroll, interp=bool(interpret))

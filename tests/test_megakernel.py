@@ -166,3 +166,28 @@ def test_render_fast_xla_fallback_matches_render():
     a = np.asarray(rt.render_fast(scene, camera, 7, config, engine="xla"))
     b = np.asarray(rt.render(scene, camera, jax.random.PRNGKey(7), config))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_sharded_matches_single_device():
+    """8-virtual-device shard_map of the kernel is bit-exact vs one device in
+    a deterministic (RNG-free) config: per-pixel work is identical; only the
+    pixel->device assignment changes."""
+    from rayz_tpu.ops.megakernel import render_pallas_sharded
+    from rayz_tpu.parallel import make_mesh
+
+    b = SceneBuilder()
+    ground = b.add_metallic(color=(0.8, 0.8, 0.9), fuzz=0.0)
+    ball = b.add_metallic(color=(0.9, 0.6, 0.3), fuzz=0.0)
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+    b.add_sphere((0.0, 0.0, -1.2), 0.5, ball)
+    scene = b.build(dtype=jnp.float32)
+    camera = rt.make_camera(width=48, height=32, vfov=60.0, focus_dist=1.0,
+                            defocus_angle=0.0, look_from=(0, 0.4, 1),
+                            look_at=(0, 0, -1))
+    config = rt.RenderConfig(spp=1, max_depth=4, t_min=1e-3, jitter=False)
+    mesh = make_mesh(jax.devices())
+    assert mesh.size == 8
+    img_s = np.asarray(render_pallas_sharded(scene, camera, 0, config, mesh))
+    img_1 = np.asarray(render_pallas(scene, camera, 0, config,
+                                     tile_sublanes=8, interpret=True))
+    np.testing.assert_array_equal(img_s, img_1)
