@@ -4,10 +4,10 @@ Two implementations of the same renderer (SURVEY.md §7 stage 5 keeps the XLA
 path as the reference oracle):
 
 * ``"pallas"`` — :func:`rayz_tpu.ops.megakernel.render_pallas`: the fused
-  forward path, fastest on TPU; sphere scenes only; not differentiable.
-* ``"xla"`` — :func:`rayz_tpu.ops.integrator.render`: fully general
-  (triangles, nested textures) and reverse-mode differentiable; the
-  inverse-rendering path always uses this.
+  forward path (spheres and triangles), fastest on TPU; not differentiable.
+* ``"xla"`` — :func:`rayz_tpu.ops.integrator.render`: the reference oracle
+  (also handles arbitrarily nested textures) and the reverse-mode
+  differentiable path; inverse rendering always uses this.
 * ``"auto"`` — pallas when the backend is a TPU and the scene qualifies,
   otherwise xla.
 """

@@ -31,11 +31,14 @@ Design
   ``seed + tile``), replacing the reference's xoshiro (renderer.zig:55-59).
   Distribution-parity, not bit-parity (SURVEY.md §7 "RNG parity").
 
-Scope: sphere scenes with solid / one-level checker textures (everything the
-reference can express — its checker children are always solid,
-rayz.zig:57-66). Triangle scenes and deeper texture nests fall back to the
-XLA integrator, which is also the differentiable path (this kernel is
-forward-only).
+Scope: sphere and/or triangle scenes with solid / one-level checker textures
+(everything the reference can express — its checker children are always
+solid, rayz.zig:57-66 — plus the triangle capability of BASELINE config 4).
+Triangles run as a second SMEM-scalar loop after the spheres, tracking the
+same winner carry; a per-slot flag records whether the winner is a triangle
+(normal = stored plane normal) or a sphere (normal = hit point − stored
+center). Deeper texture nests degrade to the child's base color. Gradients
+fall back to the XLA integrator (this kernel is forward-only).
 """
 
 from __future__ import annotations
@@ -58,7 +61,7 @@ from ..models.scene import (
 )
 
 __all__ = ["render_pallas", "render_pallas_sharded", "supports_scene",
-           "scene_tables", "is_prng_key"]
+           "scene_tables", "tri_tables", "is_prng_key"]
 
 
 def is_prng_key(key) -> bool:
@@ -77,35 +80,42 @@ _PKF, _IOS = 9, 10  # packed (kind*4+method)*4 + 2*fuzz; ior-or-scale
 _EVR, _EVG, _EVB, _ODR, _ODG, _ODB = 11, 12, 13, 14, 15, 16
 _NROWS = 17
 
+# SMEM triangle-table rows (columns = triangles): plane normal n = e1 x e2 and
+# n.v0; dual-basis rows g1/g2 with their v0 inner products (barycentrics are
+# affine in the hit point: u = g1.p - g1.v0, v = g2.p - g2.v0); then the same
+# material/texture block as spheres.
+_TNX, _TNY, _TNZ, _TNV0 = 0, 1, 2, 3
+_TG1X, _TG1Y, _TG1Z, _TG1V = 4, 5, 6, 7
+_TG2X, _TG2Y, _TG2Z, _TG2V = 8, 9, 10, 11
+_TPKF, _TIOS = 12, 13
+_TEVR, _TEVG, _TEVB, _TODR, _TODG, _TODB = 14, 15, 16, 17, 18, 19
+_TNROWS = 20
+
 _BIG = 3.0e38  # stand-in for +inf (t on miss)
 _TWO_PI = 2.0 * math.pi
 
 
 def supports_scene(scene: Scene) -> bool:
-    """Static (shape-level) eligibility: spheres only. Texture nesting depth
-    is a value-level property; one level of checker is resolved in
-    :func:`scene_tables` and deeper nests degrade to the child's base color
-    (matching the XLA path's own finite unroll fallback, shade.py)."""
-    return scene.n_triangles == 0 and scene.n_spheres > 0
+    """Static (shape-level) eligibility: any non-empty sphere/triangle scene.
+    Texture nesting depth is a value-level property; one level of checker is
+    resolved in :func:`scene_tables` and deeper nests degrade to the child's
+    base color (matching the XLA path's own finite unroll fallback,
+    shade.py)."""
+    return scene.n_spheres > 0 or scene.n_triangles > 0
 
 
-def scene_tables(scene: Scene) -> jnp.ndarray:
-    """Flatten the scene SoA into the [_NROWS, N] f32 SMEM table the kernel
-    consumes: per-sphere geometry (center/velocity/|c|^2 - r^2 with padding
-    lanes pushed to +inf-ish so they never win) joined with the sphere's
-    material and one-level-resolved texture (material.zig:41-51: checker
-    children are looked up through the pool; solid is its own color)."""
+def _material_rows(scene: Scene, mat: jnp.ndarray):
+    """Per-primitive material/texture rows shared by the sphere and triangle
+    tables: packed (kind, method, fuzz), ior-or-checker-scale, and the
+    one-level-resolved even/odd checker colors (material.zig:41-51: checker
+    children are looked up through the pool; solid is its own color).
+
+    Pack (kind, method, fuzz) into one float: 6 integer bits + the fuzz
+    fraction. Fuzz loses ~5 mantissa bits (<4e-6 absolute) — far below visual
+    or test tolerance; kind/method decode exactly. ior and checker scale are
+    mutually exclusive by material kind (dielectrics have no texture,
+    material.zig:155; others ignore ior), so they share one row."""
     f32 = jnp.float32
-    c = scene.sphere_center.astype(f32)
-    v = scene.sphere_velocity.astype(f32)
-    r = scene.sphere_radius.astype(f32)
-
-    ccmr2 = jnp.sum(c * c, axis=1) - r * r
-    ccmr2 = jnp.where(scene.sphere_valid, ccmr2, _BIG)  # padding never hits
-    cv2 = 2.0 * jnp.sum(c * v, axis=1)
-    vv = jnp.sum(v * v, axis=1)
-
-    mat = scene.sphere_material
     kind = scene.mat_kind[mat].astype(f32)
     method = scene.mat_method[mat].astype(f32)
     fuzz = scene.mat_fuzz[mat].astype(f32)
@@ -120,18 +130,64 @@ def scene_tables(scene: Scene) -> jnp.ndarray:
     od = jnp.where(solid[:, None], base, odd)
     scale = jnp.where(solid, 1.0, scene.tex_scale[tex].astype(f32))
 
-    # Pack (kind, method, fuzz) into one float: 6 integer bits + the fuzz
-    # fraction. Fuzz loses ~5 mantissa bits (<4e-6 absolute) — far below
-    # visual or test tolerance; kind/method decode exactly. ior and checker
-    # scale are mutually exclusive by material kind (dielectrics have no
-    # texture, material.zig:155; others ignore ior), so they share one row.
     pkf = (kind * 4.0 + method) * 4.0 + 2.0 * jnp.minimum(fuzz, 1.0)
     ios = jnp.where(kind == float(MAT_DIELECTRIC), ior, scale)
+    return [pkf, ios, ev[:, 0], ev[:, 1], ev[:, 2],
+            od[:, 0], od[:, 1], od[:, 2]]
+
+
+def scene_tables(scene: Scene) -> jnp.ndarray:
+    """Flatten the sphere SoA into the [_NROWS, N] f32 SMEM table the kernel
+    consumes: per-sphere geometry (center/velocity/|c|^2 - r^2 with padding
+    lanes pushed to +inf-ish so they never win) joined with the sphere's
+    material/texture rows."""
+    f32 = jnp.float32
+    c = scene.sphere_center.astype(f32)
+    v = scene.sphere_velocity.astype(f32)
+    r = scene.sphere_radius.astype(f32)
+
+    ccmr2 = jnp.sum(c * c, axis=1) - r * r
+    ccmr2 = jnp.where(scene.sphere_valid, ccmr2, _BIG)  # padding never hits
+    cv2 = 2.0 * jnp.sum(c * v, axis=1)
+    vv = jnp.sum(v * v, axis=1)
+
     return jnp.stack([
         c[:, 0], c[:, 1], c[:, 2], ccmr2,
         v[:, 0], v[:, 1], v[:, 2], cv2, vv,
-        pkf, ios,
-        ev[:, 0], ev[:, 1], ev[:, 2], od[:, 0], od[:, 1], od[:, 2],
+        *_material_rows(scene, scene.sphere_material),
+    ])
+
+
+def tri_tables(scene: Scene) -> jnp.ndarray:
+    """Flatten the triangle SoA into the [_TNROWS, M] f32 SMEM table: plane
+    normal n = e1 x e2 with n.v0, the dual basis (g1, g2) of the edge frame so
+    barycentrics are affine in the hit point (intersect.py _triangle_frame in
+    scalar-row form), and the material/texture rows. Padding columns get
+    g1.v0 = +BIG so their barycentric u is hugely negative and they can never
+    win."""
+    f32 = jnp.float32
+    v0 = scene.tri_v0.astype(f32)
+    e1 = scene.tri_v1.astype(f32) - v0
+    e2 = scene.tri_v2.astype(f32) - v0
+    n = jnp.cross(e1, e2)
+    d11 = jnp.sum(e1 * e1, axis=1)
+    d12 = jnp.sum(e1 * e2, axis=1)
+    d22 = jnp.sum(e2 * e2, axis=1)
+    den = d11 * d22 - d12 * d12
+    inv_den = jnp.where(den != 0.0, 1.0 / jnp.where(den != 0.0, den, 1.0), 0.0)
+    g1 = (e1 * d22[:, None] - e2 * d12[:, None]) * inv_den[:, None]
+    g2 = (e2 * d11[:, None] - e1 * d12[:, None]) * inv_den[:, None]
+
+    nv0 = jnp.sum(n * v0, axis=1)
+    g1v = jnp.sum(g1 * v0, axis=1)
+    g2v = jnp.sum(g2 * v0, axis=1)
+    g1v = jnp.where(scene.tri_valid, g1v, _BIG)  # padding: u = -BIG, never ok
+
+    return jnp.stack([
+        n[:, 0], n[:, 1], n[:, 2], nv0,
+        g1[:, 0], g1[:, 1], g1[:, 2], g1v,
+        g2[:, 0], g2[:, 1], g2[:, 2], g2v,
+        *_material_rows(scene, scene.tri_material),
     ])
 
 
@@ -145,11 +201,19 @@ def _camera_vector(camera: Camera) -> jnp.ndarray:
     ])
 
 
-def _kernel(cam_ref, tab_ref, seed_ref, r_ref, g_ref, b_ref, *,
-            width: int, height: int, n_pad: int, spp: int,
+def _kernel(cam_ref, *args,
+            width: int, height: int, n_pad: int, m_pad: int, spp: int,
             max_depth: int, t_min: float, jitter: bool, has_motion: bool,
             rs: int, unroll: int):
-    """One grid step = one tile of rs*128 persistent ray slots."""
+    """One grid step = one tile of rs*128 persistent ray slots.
+
+    ``args`` carries the sphere table iff ``n_pad > 0`` and the triangle
+    table iff ``m_pad > 0`` (an absent primitive class costs nothing), then
+    the seed and the three output refs."""
+    refs = list(args)
+    tab_ref = refs.pop(0) if n_pad else None
+    tri_ref = refs.pop(0) if m_pad else None
+    seed_ref, r_ref, g_ref, b_ref = refs
     f32 = jnp.float32
     i32 = jnp.int32
     shape = (rs, 128)
@@ -263,14 +327,15 @@ def _kernel(cam_ref, tab_ref, seed_ref, r_ref, g_ref, b_ref, *,
 
         hit0 = (
             jnp.full(shape, _BIG, f32),  # q_best = t_best * a
-            zf, zf, zf,                  # winner center (at ray time)
+            zf, zf, zf,                  # winner center (sphere) / plane normal (tri)
             zf, zf,                      # packed kind/method/fuzz, ior-or-scale
             zf, zf, zf, zf, zf, zf,      # even rgb, odd rgb
+            zf,                          # winner-is-triangle flag (0/1)
         )
 
         def one_sphere(j, h):
             (qb, bcx, bcy, bcz, bpk, bios,
-             ber, beg, beb, bor_, bog, bob) = h
+             ber, beg, beb, bor_, bog, bob, btri) = h
             cx = tab_ref[_CX, j]
             cy = tab_ref[_CY, j]
             cz = tab_ref[_CZ, j]
@@ -310,20 +375,71 @@ def _kernel(cam_ref, tab_ref, seed_ref, r_ref, g_ref, b_ref, *,
             bor_ = jnp.where(better, tab_ref[_ODR, j], bor_)
             bog = jnp.where(better, tab_ref[_ODG, j], bog)
             bob = jnp.where(better, tab_ref[_ODB, j], bob)
+            btri = jnp.where(better, 0.0, btri)
             return (qb, bcx, bcy, bcz, bpk, bios,
-                    ber, beg, beb, bor_, bog, bob)
+                    ber, beg, beb, bor_, bog, bob, btri)
 
-        # unrolled over the PADDED sphere count: independent dependency
+        def one_triangle(j, h):
+            """Plane-then-barycentric triangle test (intersect.py
+            intersect_triangles in per-column scalar form), sharing the
+            sphere loop's q = t*a winner space. Double-sided; parallel rays
+            (n.d == 0) and padding columns self-reject via inf/NaN compares
+            and the g1.v0 = +BIG poison respectively."""
+            (qb, bcx, bcy, bcz, bpk, bios,
+             ber, beg, beb, bor_, bog, bob, btri) = h
+            tnx = tri_ref[_TNX, j]
+            tny = tri_ref[_TNY, j]
+            tnz = tri_ref[_TNZ, j]
+            ndd = dx * tnx + dy * tny + dz * tnz
+            ndo = ox * tnx + oy * tny + oz * tnz
+            tt = (tri_ref[_TNV0, j] - ndo) / ndd
+            qv = tt * a
+            g1x, g1y, g1z = (tri_ref[_TG1X, j], tri_ref[_TG1Y, j],
+                             tri_ref[_TG1Z, j])
+            g2x, g2y, g2z = (tri_ref[_TG2X, j], tri_ref[_TG2Y, j],
+                             tri_ref[_TG2Z, j])
+            u = (g1x * ox + g1y * oy + g1z * oz
+                 + tt * (g1x * dx + g1y * dy + g1z * dz) - tri_ref[_TG1V, j])
+            v = (g2x * ox + g2y * oy + g2z * oz
+                 + tt * (g2x * dx + g2y * dy + g2z * dz) - tri_ref[_TG2V, j])
+            better = ((qv >= tmin_a) & (qv < qb)
+                      & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+            qb = jnp.where(better, qv, qb)
+            bcx = jnp.where(better, tnx, bcx)
+            bcy = jnp.where(better, tny, bcy)
+            bcz = jnp.where(better, tnz, bcz)
+            bpk = jnp.where(better, tri_ref[_TPKF, j], bpk)
+            bios = jnp.where(better, tri_ref[_TIOS, j], bios)
+            ber = jnp.where(better, tri_ref[_TEVR, j], ber)
+            beg = jnp.where(better, tri_ref[_TEVG, j], beg)
+            beb = jnp.where(better, tri_ref[_TEVB, j], beb)
+            bor_ = jnp.where(better, tri_ref[_TODR, j], bor_)
+            bog = jnp.where(better, tri_ref[_TODG, j], bog)
+            bob = jnp.where(better, tri_ref[_TODB, j], bob)
+            btri = jnp.where(better, 1.0, btri)
+            return (qb, bcx, bcy, bcz, bpk, bios,
+                    ber, beg, beb, bor_, bog, bob, btri)
+
+        # unrolled over the PADDED primitive counts: independent dependency
         # chains per iteration for VPU ILP; padding lanes are self-rejecting
         # (see NaN note above).
-        def sphere_body(i, h):
-            for k in range(unroll):
-                h = one_sphere(unroll * i + k, h)
-            return h
-
+        h = hit0
+        if n_pad:
+            def sphere_body(i, h):
+                for k in range(unroll):
+                    h = one_sphere(unroll * i + k, h)
+                return h
+            h = jax.lax.fori_loop(
+                0, (n_pad + unroll - 1) // unroll, sphere_body, h)
+        if m_pad:
+            def tri_body(i, h):
+                for k in range(unroll):
+                    h = one_triangle(unroll * i + k, h)
+                return h
+            h = jax.lax.fori_loop(
+                0, (m_pad + unroll - 1) // unroll, tri_body, h)
         (qb, bcx, bcy, bcz, bpk, bios,
-         ber, beg, beb, bor_, bog, bob) = jax.lax.fori_loop(
-            0, (n_pad + unroll - 1) // unroll, sphere_body, hit0)
+         ber, beg, beb, bor_, bog, bob, btri) = h
 
         # decode winner attributes
         hit = qb < _BIG
@@ -335,11 +451,20 @@ def _kernel(cam_ref, tab_ref, seed_ref, r_ref, g_ref, b_ref, *,
         py_ = oy + ts * dy
         pz_ = oz + ts * dz
 
-        # outward normal = unit(p - c) (geom.zig:64), flipped to oppose the
-        # ray (Hit.init, hit.zig:31-34)
-        nx = px_ - bcx
-        ny = py_ - bcy
-        nz = pz_ - bcz
+        # outward normal: sphere = unit(p - c) (geom.zig:64); triangle = unit
+        # plane normal stored in the same carry slots. Flipped to oppose the
+        # ray below (Hit.init, hit.zig:31-34).
+        if m_pad and n_pad:
+            is_tri = btri > 0.5
+            nx = jnp.where(is_tri, bcx, px_ - bcx)
+            ny = jnp.where(is_tri, bcy, py_ - bcy)
+            nz = jnp.where(is_tri, bcz, pz_ - bcz)
+        elif m_pad:
+            nx, ny, nz = bcx, bcy, bcz
+        else:
+            nx = px_ - bcx
+            ny = py_ - bcy
+            nz = pz_ - bcz
         ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
         nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
         ndd = nx * dx + ny * dy + nz * dz
@@ -485,15 +610,22 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
     n_tiles = -(-n_local // (rs * 128))
     nsub = n_tiles * rs
 
-    tab = scene_tables(scene)
+    n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
+    m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
     cam = _camera_vector(camera)
     seed_arr = jnp.stack([
         jnp.asarray(seed, jnp.int32).reshape(()),
         jnp.asarray(pix_offset, jnp.int32).reshape(()),
     ])
+    inputs = [cam]
+    if n_pad:
+        inputs.append(scene_tables(scene))
+    if m_pad:
+        inputs.append(tri_tables(scene))
+    inputs.append(seed_arr)
 
     kern = functools.partial(
-        _kernel, width=w, height=h, n_pad=int(scene.sphere_radius.shape[0]),
+        _kernel, width=w, height=h, n_pad=n_pad, m_pad=m_pad,
         spp=spp,
         max_depth=max_depth, t_min=t_min, jitter=jitter,
         has_motion=scene.has_motion, rs=rs, unroll=unroll)
@@ -504,15 +636,11 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
     r, g, b = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera vector
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scene tables
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (seed, pixel offset)
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * len(inputs),
         out_shape=(out_shape, out_shape, out_shape),
         out_specs=(out_spec, out_spec, out_spec),
         interpret=interpret,
-    )(cam, tab, seed_arr)
+    )(*inputs)
 
     flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     return flat[:n_local]
@@ -547,9 +675,8 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
     flagship scene (19.4 Mrays/s at 512x512 64spp depth 32).
     """
     if not supports_scene(scene):
-        raise ValueError(
-            "megakernel supports sphere-only scenes; use the XLA integrator "
-            "(rayz_tpu.render) for triangle scenes")
+        raise ValueError("megakernel needs a non-empty scene (spheres and/or "
+                         "triangles)")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if interpret is True:
@@ -617,7 +744,8 @@ def render_pallas_sharded(scene: Scene, camera: Camera, key, config, mesh, *,
     ``rayz_tpu.parallel.multihost`` exactly like the XLA renderer.
     """
     if not supports_scene(scene):
-        raise ValueError("megakernel supports sphere-only scenes")
+        raise ValueError("megakernel needs a non-empty scene (spheres and/or "
+                         "triangles)")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if is_prng_key(key):
