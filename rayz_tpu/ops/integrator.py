@@ -46,10 +46,17 @@ class RenderConfig(NamedTuple):
     # bounds the [chunk, N_primitives] intermediates' memory footprint.
     chunk_size: Optional[int] = None
     jitter: bool = True
+    # Rematerialize each bounce in the backward pass (SURVEY.md §7 "backward
+    # memory"): without it, reverse-mode AD stores every bounce's [rays,
+    # primitives] intersection intermediates — O(depth * R * N) HBM, which
+    # does not compile at benchmark sizes. With it, residuals are only the
+    # O(R) per-bounce ray state and the backward sweep recomputes the
+    # intersections (~2x backward FLOPs). No effect on forward-only renders.
+    remat: bool = True
 
 
 def trace_rays(scene: Scene, origin, direction, time, key, *, max_depth: int,
-               t_min: float) -> jnp.ndarray:
+               t_min: float, remat: bool = True) -> jnp.ndarray:
     """Trace a batch of rays to radiance [R, 3]; batched bounceRay."""
     dt = origin.dtype
     shape = time.shape
@@ -78,8 +85,9 @@ def trace_rays(scene: Scene, origin, direction, time, key, *, max_depth: int,
         return (o, d, tm, thr, rad, cont), None
 
     keys = jax.random.split(key, max_depth)
+    body = jax.checkpoint(step) if remat else step
     (_, _, _, _, radiance, _), _ = jax.lax.scan(
-        step, (origin, direction, time, throughput, radiance, active), keys
+        body, (origin, direction, time, throughput, radiance, active), keys
     )
     return radiance
 
@@ -119,7 +127,15 @@ def render(scene: Scene, camera: Camera, key, config: RenderConfig = RenderConfi
         return trace_rays(
             scene, o, d, tm, k_trace,
             max_depth=config.max_depth, t_min=config.t_min,
+            remat=config.remat,
         )
+
+    if config.remat:
+        # Checkpoint each (sample pass, chunk): the spp scan and chunk map
+        # otherwise store every pass's per-bounce carries — O(spp * depth * R)
+        # HBM. With this, a pass's residual is just its inputs, and its trace
+        # is recomputed transiently during the backward sweep.
+        trace_chunk = jax.checkpoint(trace_chunk)
 
     def sample_pass(acc, pass_key):
         ckeys = jax.random.split(pass_key, n_chunks)
