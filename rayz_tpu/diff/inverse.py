@@ -33,6 +33,7 @@ except ImportError:  # pragma: no cover
 
 from ..models.camera import Camera
 from ..models.scene import Scene
+from ..ops.diffkernel import render_diff
 from ..ops.integrator import RenderConfig, render, _pixel_grid
 from ..parallel.mesh import _render_shard
 
@@ -65,14 +66,24 @@ def inject_params(scene: Scene, params: Dict[str, jnp.ndarray]) -> Scene:
 
 
 def pixel_loss(params, scene: Scene, camera: Camera, key, target,
-               config: RenderConfig):
-    """Mean squared pixel error of a fresh stochastic render vs target."""
-    img = render(inject_params(scene, params), camera, key, config)
+               config: RenderConfig, engine: str = "dense"):
+    """Mean squared pixel error of a fresh stochastic render vs target.
+
+    ``engine``: "dense" differentiates through the full scan integrator
+    (any scene; O(R*N) backward); "recorded" uses the Pallas record +
+    O(R) XLA replay estimator (:func:`rayz_tpu.ops.render_diff`) — the
+    fast path for sphere scenes at benchmark sizes.
+    """
+    fitted = inject_params(scene, params)
+    if engine == "recorded":
+        img = render_diff(fitted, camera, key, config)
+    else:
+        img = render(fitted, camera, key, config)
     return jnp.mean((img - target.reshape(img.shape)) ** 2)
 
 
 def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfig,
-                    mesh: Optional[Mesh] = None):
+                    mesh: Optional[Mesh] = None, engine: str = "dense"):
     """Build a jitted Adam/SGD step: (params, opt_state, scene, camera, key,
     target) -> (params, opt_state, loss).
 
@@ -85,7 +96,7 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
         @jax.jit
         def step(params, opt_state, scene, camera, key, target):
             loss, grads = jax.value_and_grad(pixel_loss)(
-                params, scene, camera, key, target, config
+                params, scene, camera, key, target, config, engine
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -142,15 +153,16 @@ def fit(scene: Scene, camera: Camera, target, *, config: RenderConfig,
         steps: int = 200, learning_rate: float = 1e-2,
         fields: Sequence[str] = DEFAULT_TRAINABLE,
         mesh: Optional[Mesh] = None, key=None,
-        callback=None) -> Tuple[Scene, list]:
+        callback=None, engine: str = "dense") -> Tuple[Scene, list]:
     """Run Adam on pixel L2 against ``target``; returns (fitted scene,
-    loss history)."""
+    loss history). ``engine`` as in :func:`pixel_loss` (single-device path;
+    the mesh path always differentiates the dense per-shard renderer)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     params = extract_params(scene, fields)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(optimizer, config, mesh)
+    step_fn = make_train_step(optimizer, config, mesh, engine=engine)
     history = []
     for i in range(steps):
         key, sub = jax.random.split(key)

@@ -3,6 +3,7 @@ from .intersect import HitRecord, aabb_hit, intersect, intersect_spheres, inters
 from .shade import scatter, schlick_reflectance, sky_color, texture_value
 from .megakernel import (render_pallas, render_pallas_sharded, scene_tables,
                          supports_scene)
+from .diffkernel import record_paths, render_diff, replay_paths, supports_diff
 from .engine import pick_engine, render_fast
 
 __all__ = [
@@ -11,6 +12,10 @@ __all__ = [
     "render_jit",
     "render_pallas",
     "render_pallas_sharded",
+    "render_diff",
+    "supports_diff",
+    "record_paths",
+    "replay_paths",
     "render_fast",
     "pick_engine",
     "scene_tables",
