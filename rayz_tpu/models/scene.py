@@ -99,6 +99,14 @@ class Scene:
     n_spheres: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
     has_motion: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Structural uniqueness hints for the megakernel's global-material fast
+    # path (values stay traced; only the STRUCTURE is static): the texture
+    # index of the scene's sole checker texture, and the material index of its
+    # sole dielectric. -1 = none exist, -2 = more than one exists (fast path
+    # disabled). Scenes built by SceneBuilder get real values; a Scene
+    # constructed directly defaults to the safe "unknown" -2.
+    uniq_checker_tex: int = dataclasses.field(metadata=dict(static=True), default=-2)
+    uniq_dielectric_mat: int = dataclasses.field(metadata=dict(static=True), default=-2)
 
     @property
     def dtype(self):
@@ -162,8 +170,18 @@ class SceneBuilder:
         return len(self._mat) - 1
 
     def add_dielectric(self, refractive_index: float = 1.0) -> int:
-        """DielectricMaterial (material.zig:134-160)."""
-        self._mat.append((MAT_DIELECTRIC, 0, 0.0, float(refractive_index), 0))
+        """DielectricMaterial (material.zig:134-160).
+
+        Dielectrics with equal IOR are deduplicated to one shared material
+        (the reference allocates one per call, rayz.zig:164, but the material
+        is fully determined by its IOR so renders are identical; sharing keeps
+        the scene's dielectric count structurally small, which enables the
+        megakernel's global-IOR fast path)."""
+        entry = (MAT_DIELECTRIC, 0, 0.0, float(refractive_index), 0)
+        for i, m in enumerate(self._mat):
+            if m == entry:
+                return i
+        self._mat.append(entry)
         return len(self._mat) - 1
 
     # -- primitives --
@@ -235,6 +253,15 @@ class SceneBuilder:
 
         tri_v = np.asarray(self._tri_v, dtype=np.float64) if nt else np.zeros((0, 3, 3))
 
+        def uniq(indices):
+            indices = list(indices)
+            if not indices:
+                return -1
+            return indices[0] if len(indices) == 1 else -2
+
+        uniq_checker = uniq(i for i, t in enumerate(tk) if t == TEX_CHECKER)
+        uniq_diel = uniq(i for i, k in enumerate(mk) if k == MAT_DIELECTRIC)
+
         return Scene(
             sphere_center=farr(self._sph_center, (npad, 3)),
             sphere_velocity=farr(self._sph_vel, (npad, 3)),
@@ -259,4 +286,6 @@ class SceneBuilder:
             n_spheres=ns,
             n_triangles=nt,
             has_motion=has_motion,
+            uniq_checker_tex=uniq_checker,
+            uniq_dielectric_mat=uniq_diel,
         )

@@ -61,7 +61,8 @@ from ..models.scene import (
 )
 
 __all__ = ["render_pallas", "render_pallas_sharded", "supports_scene",
-           "scene_tables", "tri_tables", "is_prng_key"]
+           "scene_tables", "tri_tables", "scene_tables_gm", "tri_tables_gm",
+           "use_global_materials", "is_prng_key"]
 
 
 def is_prng_key(key) -> bool:
@@ -90,6 +91,18 @@ _TG2X, _TG2Y, _TG2Z, _TG2V = 8, 9, 10, 11
 _TPKF, _TIOS = 12, 13
 _TEVR, _TEVG, _TEVB, _TODR, _TODG, _TODB = 14, 15, 16, 17, 18, 19
 _TNROWS = 20
+
+# Global-material ("gm") table rows: same geometry block, then ONE packed
+# flags/kind/method/fuzz float and the solid albedo. Enabled when the scene
+# has at most one distinct checker texture and one distinct dielectric
+# material (statically known via Scene.uniq_* — true of every reference scene,
+# rayz.zig:45-168): the checker's scale/colors and the dielectric's IOR then
+# live in 8 per-scene SMEM globals resolved once per bounce, shrinking the
+# nearest-hit winner carry from 13 selects per primitive to 8.
+_GPKF, _GALR, _GALG, _GALB = 9, 10, 11, 12
+_GNROWS = 13
+_TGPKF, _TGALR, _TGALG, _TGALB = 12, 13, 14, 15
+_TGNROWS = 16
 
 _BIG = 3.0e38  # stand-in for +inf (t on miss)
 _TWO_PI = 2.0 * math.pi
@@ -191,6 +204,76 @@ def tri_tables(scene: Scene) -> jnp.ndarray:
     ])
 
 
+def use_global_materials(scene: Scene) -> bool:
+    """Static eligibility for the gm fast path (see row-constant comment)."""
+    return scene.uniq_checker_tex != -2 and scene.uniq_dielectric_mat != -2
+
+
+def _material_rows_gm(scene: Scene, mat: jnp.ndarray, istri: float):
+    """gm-mode per-primitive rows: packed (istri, ischecker, kind, method,
+    fuzz) and the solid base color (zeroed for checker primitives — their
+    albedo is recomputed from the scene globals at decode time)."""
+    f32 = jnp.float32
+    kind = scene.mat_kind[mat].astype(f32)
+    method = scene.mat_method[mat].astype(f32)
+    fuzz = scene.mat_fuzz[mat].astype(f32)
+    tex = scene.mat_texture[mat]
+    ischk = (scene.tex_kind[tex] != TEX_SOLID).astype(f32)
+    base = scene.tex_color[tex].astype(f32)
+    base = jnp.where(ischk[:, None] > 0.0, 0.0, base)
+    pkf = ((istri * 2.0 + ischk) * 16.0 + kind * 4.0 + method) * 4.0 \
+        + 2.0 * jnp.minimum(fuzz, 1.0)
+    return [pkf, base[:, 0], base[:, 1], base[:, 2]]
+
+
+def scene_tables_gm(scene: Scene) -> jnp.ndarray:
+    """gm-mode sphere table [_GNROWS, N]: geometry rows as in
+    :func:`scene_tables`, then the compact material block."""
+    f32 = jnp.float32
+    c = scene.sphere_center.astype(f32)
+    v = scene.sphere_velocity.astype(f32)
+    r = scene.sphere_radius.astype(f32)
+    ccmr2 = jnp.sum(c * c, axis=1) - r * r
+    ccmr2 = jnp.where(scene.sphere_valid, ccmr2, _BIG)
+    cv2 = 2.0 * jnp.sum(c * v, axis=1)
+    vv = jnp.sum(v * v, axis=1)
+    return jnp.stack([
+        c[:, 0], c[:, 1], c[:, 2], ccmr2,
+        v[:, 0], v[:, 1], v[:, 2], cv2, vv,
+        *_material_rows_gm(scene, scene.sphere_material, 0.0),
+    ])
+
+
+def tri_tables_gm(scene: Scene) -> jnp.ndarray:
+    """gm-mode triangle table [_TGNROWS, M]: geometry rows as in
+    :func:`tri_tables`, then the compact material block (istri flag baked into
+    the packed float — no separate winner-is-triangle carry)."""
+    full = tri_tables(scene)  # reuse the geometry rows 0..11
+    return jnp.concatenate([
+        full[:12],
+        jnp.stack(_material_rows_gm(scene, scene.tri_material, 1.0)),
+    ])
+
+
+def _scene_globals(scene: Scene) -> jnp.ndarray:
+    """[8] f32 gm globals: checker 1/scale, even rgb, odd rgb, dielectric IOR.
+    Indices are the static Scene.uniq_* fields, so the VALUES stay traced
+    (training/replacing tex_color or mat_ior keeps working)."""
+    f32 = jnp.float32
+    t = scene.uniq_checker_tex
+    if t >= 0:
+        inv_scale = 1.0 / scene.tex_scale[t].astype(f32)
+        ev = scene.tex_color[scene.tex_even[t]].astype(f32)
+        od = scene.tex_color[scene.tex_odd[t]].astype(f32)
+    else:
+        inv_scale = jnp.asarray(1.0, f32)
+        ev = jnp.zeros((3,), f32)
+        od = jnp.zeros((3,), f32)
+    m = scene.uniq_dielectric_mat
+    ior = scene.mat_ior[m].astype(f32) if m >= 0 else jnp.asarray(1.0, f32)
+    return jnp.concatenate([inv_scale[None], ev, od, ior[None]])
+
+
 def _camera_vector(camera: Camera) -> jnp.ndarray:
     """[18] f32: look_from, px_du, px_dv, px_origin, defocus_u, defocus_v."""
     f32 = jnp.float32
@@ -204,7 +287,7 @@ def _camera_vector(camera: Camera) -> jnp.ndarray:
 def _kernel(cam_ref, *args,
             width: int, height: int, n_pad: int, m_pad: int, spp: int,
             max_depth: int, t_min: float, jitter: bool, has_motion: bool,
-            rs: int, unroll: int):
+            rs: int, unroll: int, gm: bool):
     """One grid step = one tile of rs*128 persistent ray slots.
 
     ``args`` carries the sphere table iff ``n_pad > 0`` and the triangle
@@ -255,6 +338,9 @@ def _kernel(cam_ref, *args,
     cam = [cam_ref[i] for i in range(18)]
     (lfx, lfy, lfz, dux, duy, duz, dvx, dvy, dvz,
      pox, poy, poz, deux, deuy, deuz, devx, devy, devz) = cam
+    if gm:
+        (g_isc, g_evr, g_evg, g_evb, g_odr, g_odg, g_odb,
+         g_ior) = [cam_ref[18 + i] for i in range(8)]
 
     zf = jnp.zeros(shape, f32)
     zi = jnp.zeros(shape, i32)
@@ -325,17 +411,33 @@ def _kernel(cam_ref, *args,
         if has_motion:
             tau2 = tau * tau
 
-        hit0 = (
-            jnp.full(shape, _BIG, f32),  # q_best = t_best * a
-            zf, zf, zf,                  # winner center (sphere) / plane normal (tri)
-            zf, zf,                      # packed kind/method/fuzz, ior-or-scale
-            zf, zf, zf, zf, zf, zf,      # even rgb, odd rgb
-            zf,                          # winner-is-triangle flag (0/1)
-        )
+        # Winner carry: q_best, winner center (sphere) / plane normal (tri),
+        # then the mode's attribute rows. gm: packed flags/kind/method/fuzz +
+        # solid albedo (4). Full: packed kind/method/fuzz, ior-or-scale,
+        # even rgb, odd rgb, is-triangle flag (9).
+        n_attrs = 4 if gm else 9
+        hit0 = (jnp.full(shape, _BIG, f32), zf, zf, zf) + (zf,) * n_attrs
+
+        def sphere_attr_rows(j):
+            if gm:
+                return [tab_ref[_GPKF, j], tab_ref[_GALR, j],
+                        tab_ref[_GALG, j], tab_ref[_GALB, j]]
+            return [tab_ref[_PKF, j], tab_ref[_IOS, j],
+                    tab_ref[_EVR, j], tab_ref[_EVG, j], tab_ref[_EVB, j],
+                    tab_ref[_ODR, j], tab_ref[_ODG, j], tab_ref[_ODB, j],
+                    0.0]
+
+        def tri_attr_rows(j):
+            if gm:
+                return [tri_ref[_TGPKF, j], tri_ref[_TGALR, j],
+                        tri_ref[_TGALG, j], tri_ref[_TGALB, j]]
+            return [tri_ref[_TPKF, j], tri_ref[_TIOS, j],
+                    tri_ref[_TEVR, j], tri_ref[_TEVG, j], tri_ref[_TEVB, j],
+                    tri_ref[_TODR, j], tri_ref[_TODG, j], tri_ref[_TODB, j],
+                    1.0]
 
         def one_sphere(j, h):
-            (qb, bcx, bcy, bcz, bpk, bios,
-             ber, beg, beb, bor_, bog, bob, btri) = h
+            qb, bcx, bcy, bcz = h[:4]
             cx = tab_ref[_CX, j]
             cy = tab_ref[_CY, j]
             cz = tab_ref[_CZ, j]
@@ -363,21 +465,12 @@ def _kernel(cam_ref, *args,
             # sphere cannot win either way.
             qv = jnp.where(q1 >= tmin_a, q1, q2)
             better = (qv >= tmin_a) & (qv < qb)
-            qb = jnp.where(better, qv, qb)
-            bcx = jnp.where(better, cxe, bcx)
-            bcy = jnp.where(better, cye, bcy)
-            bcz = jnp.where(better, cze, bcz)
-            bpk = jnp.where(better, tab_ref[_PKF, j], bpk)
-            bios = jnp.where(better, tab_ref[_IOS, j], bios)
-            ber = jnp.where(better, tab_ref[_EVR, j], ber)
-            beg = jnp.where(better, tab_ref[_EVG, j], beg)
-            beb = jnp.where(better, tab_ref[_EVB, j], beb)
-            bor_ = jnp.where(better, tab_ref[_ODR, j], bor_)
-            bog = jnp.where(better, tab_ref[_ODG, j], bog)
-            bob = jnp.where(better, tab_ref[_ODB, j], bob)
-            btri = jnp.where(better, 0.0, btri)
-            return (qb, bcx, bcy, bcz, bpk, bios,
-                    ber, beg, beb, bor_, bog, bob, btri)
+            return (jnp.where(better, qv, qb),
+                    jnp.where(better, cxe, bcx),
+                    jnp.where(better, cye, bcy),
+                    jnp.where(better, cze, bcz),
+                    *(jnp.where(better, new, old)
+                      for new, old in zip(sphere_attr_rows(j), h[4:])))
 
         def one_triangle(j, h):
             """Plane-then-barycentric triangle test (intersect.py
@@ -385,8 +478,7 @@ def _kernel(cam_ref, *args,
             sphere loop's q = t*a winner space. Double-sided; parallel rays
             (n.d == 0) and padding columns self-reject via inf/NaN compares
             and the g1.v0 = +BIG poison respectively."""
-            (qb, bcx, bcy, bcz, bpk, bios,
-             ber, beg, beb, bor_, bog, bob, btri) = h
+            qb, bcx, bcy, bcz = h[:4]
             tnx = tri_ref[_TNX, j]
             tny = tri_ref[_TNY, j]
             tnz = tri_ref[_TNZ, j]
@@ -404,21 +496,12 @@ def _kernel(cam_ref, *args,
                  + tt * (g2x * dx + g2y * dy + g2z * dz) - tri_ref[_TG2V, j])
             better = ((qv >= tmin_a) & (qv < qb)
                       & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
-            qb = jnp.where(better, qv, qb)
-            bcx = jnp.where(better, tnx, bcx)
-            bcy = jnp.where(better, tny, bcy)
-            bcz = jnp.where(better, tnz, bcz)
-            bpk = jnp.where(better, tri_ref[_TPKF, j], bpk)
-            bios = jnp.where(better, tri_ref[_TIOS, j], bios)
-            ber = jnp.where(better, tri_ref[_TEVR, j], ber)
-            beg = jnp.where(better, tri_ref[_TEVG, j], beg)
-            beb = jnp.where(better, tri_ref[_TEVB, j], beb)
-            bor_ = jnp.where(better, tri_ref[_TODR, j], bor_)
-            bog = jnp.where(better, tri_ref[_TODG, j], bog)
-            bob = jnp.where(better, tri_ref[_TODB, j], bob)
-            btri = jnp.where(better, 1.0, btri)
-            return (qb, bcx, bcy, bcz, bpk, bios,
-                    ber, beg, beb, bor_, bog, bob, btri)
+            return (jnp.where(better, qv, qb),
+                    jnp.where(better, tnx, bcx),
+                    jnp.where(better, tny, bcy),
+                    jnp.where(better, tnz, bcz),
+                    *(jnp.where(better, new, old)
+                      for new, old in zip(tri_attr_rows(j), h[4:])))
 
         # unrolled over the PADDED primitive counts: independent dependency
         # chains per iteration for VPU ILP; padding lanes are self-rejecting
@@ -438,8 +521,8 @@ def _kernel(cam_ref, *args,
                 return h
             h = jax.lax.fori_loop(
                 0, (m_pad + unroll - 1) // unroll, tri_body, h)
-        (qb, bcx, bcy, bcz, bpk, bios,
-         ber, beg, beb, bor_, bog, bob, btri) = h
+        qb, bcx, bcy, bcz = h[:4]
+        bpk = h[4]
 
         # decode winner attributes
         hit = qb < _BIG
@@ -447,6 +530,14 @@ def _kernel(cam_ref, *args,
         ts = jnp.where(hit, tb, 1.0)
         bkm = jnp.floor(bpk * 0.25)
         bfz = (bpk - 4.0 * bkm) * 0.5
+        if gm:
+            # bkm = flags*16 + kind*4 + method; flags = istri*2 + ischecker
+            flags = jnp.floor(bkm * (1.0 / 16.0))
+            bkm = bkm - 16.0 * flags
+            btri = jnp.floor(flags * 0.5)
+            ischk = flags - 2.0 * btri
+        else:
+            btri = h[12]
         px_ = ox + ts * dx
         py_ = oy + ts * dy
         pz_ = oz + ts * dz
@@ -475,18 +566,34 @@ def _kernel(cam_ref, *args,
         kind = jnp.floor(bkm * 0.25)
         method = bkm - 4.0 * kind
         is_d_kind = kind == float(MAT_DIELECTRIC)
-        bio = bios                                   # ior (dielectric only)
-        bsc = jnp.where(is_d_kind, 1.0, bios)        # checker scale otherwise
+        if gm:
+            bio = g_ior  # scalar; the scene's sole dielectric IOR
+            # checker albedo from the scene globals (only where the winner's
+            # material is the sole checker texture); solid winners carry
+            # their color through the loop.
+            par = (jnp.floor(px_ * g_isc) + jnp.floor(py_ * g_isc)
+                   + jnp.floor(pz_ * g_isc))
+            even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
+            chk = ischk > 0.5
+            alr = jnp.where(chk, jnp.where(even_par, g_evr, g_odr), h[5])
+            alg = jnp.where(chk, jnp.where(even_par, g_evg, g_odg), h[6])
+            alb = jnp.where(chk, jnp.where(even_par, g_evb, g_odb), h[7])
+        else:
+            bios = h[5]
+            ber, beg, beb, bor_, bog, bob = h[6:12]
+            bio = bios                               # ior (dielectric only)
+            bsc = jnp.where(is_d_kind, 1.0, bios)    # checker scale otherwise
 
-        # checker albedo (CheckerTexture, material.zig:27-39): floor-parity of
-        # p/scale selects even/odd; solid textures have even == odd.
-        isc = 1.0 / bsc
-        par = (jnp.floor(px_ * isc) + jnp.floor(py_ * isc)
-               + jnp.floor(pz_ * isc))
-        even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
-        alr = jnp.where(even_par, ber, bor_)
-        alg = jnp.where(even_par, beg, bog)
-        alb = jnp.where(even_par, beb, bob)
+            # checker albedo (CheckerTexture, material.zig:27-39): floor-
+            # parity of p/scale selects even/odd; solid textures have
+            # even == odd.
+            isc = 1.0 / bsc
+            par = (jnp.floor(px_ * isc) + jnp.floor(py_ * isc)
+                   + jnp.floor(pz_ * isc))
+            even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
+            alr = jnp.where(even_par, ber, bor_)
+            alg = jnp.where(even_par, beg, bog)
+            alb = jnp.where(even_par, beb, bob)
 
         # ---- diffuse (material.zig:75-101) ----
         ux, uy, uz = unit3()
@@ -612,23 +719,26 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
 
     n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
     m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
+    gm = use_global_materials(scene)
     cam = _camera_vector(camera)
+    if gm:
+        cam = jnp.concatenate([cam, _scene_globals(scene)])
     seed_arr = jnp.stack([
         jnp.asarray(seed, jnp.int32).reshape(()),
         jnp.asarray(pix_offset, jnp.int32).reshape(()),
     ])
     inputs = [cam]
     if n_pad:
-        inputs.append(scene_tables(scene))
+        inputs.append(scene_tables_gm(scene) if gm else scene_tables(scene))
     if m_pad:
-        inputs.append(tri_tables(scene))
+        inputs.append(tri_tables_gm(scene) if gm else tri_tables(scene))
     inputs.append(seed_arr)
 
     kern = functools.partial(
         _kernel, width=w, height=h, n_pad=n_pad, m_pad=m_pad,
         spp=spp,
         max_depth=max_depth, t_min=t_min, jitter=jitter,
-        has_motion=scene.has_motion, rs=rs, unroll=unroll)
+        has_motion=scene.has_motion, rs=rs, unroll=unroll, gm=gm)
 
     out_shape = jax.ShapeDtypeStruct((nsub, 128), jnp.float32)
     out_spec = pl.BlockSpec((rs, 128), lambda i: (i, 0),

@@ -1,0 +1,60 @@
+"""On-TPU statistical parity checks for the stochastic megakernel paths.
+
+The CPU test suite exercises the Pallas kernels only in deterministic
+configurations (the Mosaic interpreter stubs the in-kernel PRNG — see
+tests/test_megakernel.py). This script runs on the real chip and validates
+the stochastic estimator: the megakernel's jittered/defocused/motion-blurred
+render must converge to the XLA integrator's (their RNG streams differ, the
+distributions must not).
+
+Run:  python scripts/tpu_check.py [--width 128] [--spp 256]
+Exits nonzero on failure; prints per-scene mean-abs-error lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import rayz_tpu as rt  # noqa: E402
+from rayz_tpu.ops.megakernel import render_pallas, supports_scene  # noqa: E402
+
+
+def check(name: str, width: int, spp: int, depth: int, tol: float) -> bool:
+    scene, camera = rt.scenes.SCENES[name](width=width)
+    if not supports_scene(scene):
+        print(f"SKIP {name}: unsupported scene")
+        return True
+    cfg = rt.RenderConfig(spp=spp, max_depth=depth, t_min=1e-3)
+    img_p = np.asarray(jax.device_get(render_pallas(scene, camera, 1, cfg)))
+    img_x = np.asarray(jax.device_get(
+        rt.render(scene, camera, jax.random.PRNGKey(1), cfg)))
+    mae = float(np.mean(np.abs(img_p - img_x)))
+    ok = mae < tol and np.isfinite(img_p).all()
+    print(f"{'OK  ' if ok else 'FAIL'} {name:16s} mae={mae:.4f} tol={tol}")
+    return ok
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--spp", type=int, default=256)
+    args = p.parse_args()
+
+    ok = True
+    # tol scales ~1/sqrt(spp); 0.02 at 256spp is ~3 sigma of MC noise on
+    # these scenes (measured), far below any systematic estimator mismatch.
+    tol = 0.02 * (256.0 / args.spp) ** 0.5
+    for name, depth in [("two_sphere", 8), ("three_sphere", 16),
+                        ("random_bouncing", 16), ("cornell_box", 8)]:
+        ok &= check(name, args.width, args.spp, depth, tol)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

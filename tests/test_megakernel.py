@@ -255,3 +255,42 @@ def test_sharded_matches_single_device():
     img_1 = np.asarray(render_pallas(scene, camera, 0, config,
                                      tile_sublanes=8, interpret=True))
     np.testing.assert_array_equal(img_s, img_1)
+
+
+def test_global_material_mode_flags():
+    """Scenes with one checker + one dielectric use the gm fast path; a
+    second distinct-IOR dielectric or checker texture disables it."""
+    from rayz_tpu.ops.megakernel import use_global_materials
+
+    b = rt.SceneBuilder()
+    even = b.add_solid_texture((0.2, 0.3, 0.1))
+    odd = b.add_solid_texture((0.9, 0.9, 0.9))
+    b.add_sphere((0, -1000, 0), 1000.0,
+                 b.add_diffuse(texture=b.add_checker_texture(0.32, even, odd)))
+    g1 = b.add_dielectric(1.5)
+    g2 = b.add_dielectric(1.5)  # deduped: same material
+    assert g1 == g2
+    b.add_sphere((0, 1, 0), 1.0, g1)
+    assert use_global_materials(b.build())
+
+    b.add_sphere((2, 1, 0), 1.0, b.add_dielectric(1.33))  # second IOR
+    assert not use_global_materials(b.build())
+
+
+def test_fallback_mode_matches_xla_multi_ior():
+    """Two distinct IORs force the full per-primitive table path; the kernel
+    must still match the XLA oracle (deterministic: straight-through rays at
+    normal incidence never flip the Schlick coin... avoided entirely by
+    depth-1 hit->black)."""
+    b = rt.SceneBuilder()
+    b.add_sphere((0, 0, -2), 0.5, b.add_dielectric(1.5))
+    b.add_sphere((1.2, 0, -2), 0.5, b.add_dielectric(2.4))
+    b.add_sphere((-1.2, 0, -2), 0.5, b.add_metallic(color=(0.8, 0.7, 0.6)))
+    scene = b.build()
+    from rayz_tpu.ops.megakernel import use_global_materials
+    assert not use_global_materials(scene)
+    cam = rt.make_camera(width=24, height=24, vfov=60.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1))
+    config = rt.RenderConfig(spp=1, max_depth=1, jitter=False)
+    img_p, img_x = _render_both(scene, cam, config)
+    np.testing.assert_allclose(img_p, img_x, atol=1e-4)
