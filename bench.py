@@ -1,24 +1,32 @@
-"""Headline benchmark: forward Mrays/s on the RTIOW-final scene.
+"""Headline benchmark: forward AND forward+backward Mrays/s on the RTIOW
+final scene at the real BASELINE config.
 
 Config 3 of BASELINE.json: ~500 random spheres (80% moving), 512x512, 64 spp,
-depth 32 — the reference's own live scene (/root/reference/src/rayz.zig:45-168)
-rendered by the fused Pallas megakernel (rayz_tpu/ops/megakernel.py). The
-metric matches the reference's self-reported counter (rayz.zig:26-34): one ray
-per pixel-sample (camera rays) divided by render wall-clock.
+depth 32 — the reference's own live scene (/root/reference/src/rayz.zig:45-168).
+
+* ``fwd``: the fused Pallas megakernel (rayz_tpu/ops/megakernel.py).
+* ``fwdbwd``: ``jax.value_and_grad`` of the pixel-L2 loss through the
+  record/replay differentiable renderer (rayz_tpu/ops/diffkernel.py) — one
+  full forward render plus scene-parameter gradients (sphere centers/radii,
+  albedos, fuzz, IOR).
+
+The ray metric matches the reference's self-reported counter (rayz.zig:26-34):
+one ray per pixel-sample (camera rays) divided by wall-clock.
 
 Timing note: on the tunneled TPU platform ``block_until_ready`` returns before
-execution finishes, so the sync point is ``jax.device_get`` of the full image
-(which a real renderer needs on the host anyway). Best of three runs,
+execution finishes, so the sync point is ``jax.device_get`` of the result
+(which a real renderer/trainer needs on the host anyway). Best of three runs,
 compile excluded.
 
 Prints ONE JSON line:
-  {"metric": "fwd_mrays_per_s", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+  {"metric": "fwd_mrays_per_s", "value": N, "unit": "Mrays/s",
+   "vs_baseline": N, "fwd_mrays_per_s": N, "fwdbwd_mrays_per_s": N, ...}
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and no Zig
-toolchain exists in this image, so the baseline is a documented estimate of
-the reference's single-threaded CPU throughput at this config: ~1.0 Mrays/s
-(camera rays; ~1 us/ray for a ~500-sphere BVH path trace — consistent with
-the us/ray line the reference prints on a modern core).
+toolchain exists in this image, so the baseline is an ESTIMATE (flagged in the
+JSON) of the reference's single-threaded CPU throughput at this config:
+~1.0 Mrays/s (camera rays; ~1 us/ray for a ~500-sphere BVH path trace —
+consistent with the us/ray line the reference prints on a modern core).
 """
 
 from __future__ import annotations
@@ -29,37 +37,64 @@ import time
 import jax
 
 import rayz_tpu as rt
+from rayz_tpu.diff import extract_params, pixel_loss
 
-REFERENCE_BASELINE_MRAYS = 1.0  # documented estimate, see module docstring
+REFERENCE_BASELINE_MRAYS = 1.0  # documented ESTIMATE, see module docstring
 
 WIDTH = 512
+HEIGHT = 512
 SPP = 64
 DEPTH = 32
 
 
-def main() -> None:
-    scene, camera = rt.scenes.random_bouncing(width=WIDTH)
-    config = rt.RenderConfig(spp=SPP, max_depth=DEPTH, t_min=1e-3)
+def _best_of(fn, seeds=(1, 2, 3)) -> float:
+    best = float("inf")
+    for seed in seeds:
+        st = time.perf_counter()
+        fn(seed)
+        best = min(best, time.perf_counter() - st)
+    return best
 
-    def run(seed: int):
+
+def main() -> None:
+    scene, camera = rt.scenes.random_bouncing(width=WIDTH, height=HEIGHT)
+    config = rt.RenderConfig(spp=SPP, max_depth=DEPTH, t_min=1e-3)
+    rays = HEIGHT * WIDTH * SPP
+
+    # ---- forward: fused Pallas megakernel ----
+    def run_fwd(seed: int):
         return jax.device_get(
             rt.render_fast(scene, camera, seed, config, engine="auto"))
 
-    run(0)  # compile once outside the timed region
+    run_fwd(0)  # compile once outside the timed region
+    fwd_mrays = rays / _best_of(run_fwd) / 1e6
 
-    best = float("inf")
-    for seed in (1, 2, 3):
-        st = time.perf_counter()
-        run(seed)
-        best = min(best, time.perf_counter() - st)
+    # ---- forward+backward: grad of pixel L2 through record/replay ----
+    target = jax.device_put(run_fwd(0))
+    params = extract_params(scene)
+    grad_fn = jax.jit(
+        jax.value_and_grad(pixel_loss),
+        static_argnames=("config", "engine"))
 
-    rays = camera.height * camera.width * SPP
-    mrays = rays / best / 1e6
+    def run_fwdbwd(seed: int):
+        return jax.device_get(grad_fn(
+            params, scene, camera, jax.random.PRNGKey(seed), target,
+            config, "recorded"))
+
+    run_fwdbwd(0)  # compile
+    fwdbwd_mrays = rays / _best_of(run_fwdbwd) / 1e6
+
     print(json.dumps({
         "metric": "fwd_mrays_per_s",
-        "value": round(mrays, 3),
+        "value": round(fwd_mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / REFERENCE_BASELINE_MRAYS, 3),
+        "vs_baseline": round(fwd_mrays / REFERENCE_BASELINE_MRAYS, 3),
+        "fwd_mrays_per_s": round(fwd_mrays, 3),
+        "fwdbwd_mrays_per_s": round(fwdbwd_mrays, 3),
+        "config": f"random_bouncing {WIDTH}x{HEIGHT} {SPP}spp d{DEPTH}",
+        "baseline_note": ("vs_baseline divides by an ESTIMATED ~1.0 Mrays/s "
+                          "single-thread CPU reference (no published numbers, "
+                          "no Zig toolchain in image)"),
     }))
 
 

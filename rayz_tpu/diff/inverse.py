@@ -10,6 +10,16 @@ boundaries, checker parity, Schlick coin flips, metal absorption) contribute
 zero gradient almost everywhere — correct a.e., noisy exactly at silhouettes
 (SURVEY.md §7 "hard parts", documented acceptance).
 
+GEOMETRY-GRADIENT CAVEAT: the reference-default HEMISPHERE diffuse scatter
+(material.zig:81-84) has direction ``s * sign(s . n)`` — piecewise constant
+in the surface normal — so in scenes lit only by the sky through hemisphere-
+diffuse bounces, gradients to sphere centers/radii/triangle vertices are zero
+almost everywhere and positions CANNOT be recovered by gradient descent.
+Build inverse-rendering scenes with ``add_diffuse(method=DIFFUSE_UNIT_SPHERE)``
+(``n + s``, smooth in the normal) or metal/dielectric materials; see
+``rayz_tpu.scenes.sphere_grid`` (the config-5 scene) and
+tests/test_grad.py::test_hemisphere_diffuse_geometry_grad_is_zero_ae.
+
 Data-parallel training: pixels sharded over the mesh, scene/params replicated,
 per-device partial losses/grads ``psum``-reduced — the psum is XLA-scheduled to
 overlap with the backward sweep.
@@ -33,7 +43,7 @@ except ImportError:  # pragma: no cover
 
 from ..models.camera import Camera
 from ..models.scene import Scene
-from ..ops.diffkernel import render_diff
+from ..ops.diffkernel import default_interpret, render_diff, render_diff_flat
 from ..ops.integrator import RenderConfig, render, _pixel_grid
 from ..parallel.mesh import _render_shard
 
@@ -47,10 +57,15 @@ __all__ = [
 ]
 
 # Differentiable scene leaves (SURVEY.md §7 delta #1): geometry, albedo,
-# roughness, IOR.
+# roughness, IOR. NOTE: SceneBuilder.add_dielectric dedups equal-IOR
+# dielectrics by default, so shared dielectrics train as ONE mat_ior entry;
+# build with add_dielectric(..., share=False) to fit them independently.
 DEFAULT_TRAINABLE = (
     "sphere_center",
     "sphere_radius",
+    "tri_v0",
+    "tri_v1",
+    "tri_v2",
     "tex_color",
     "mat_fuzz",
     "mat_ior",
@@ -72,7 +87,7 @@ def pixel_loss(params, scene: Scene, camera: Camera, key, target,
     ``engine``: "dense" differentiates through the full scan integrator
     (any scene; O(R*N) backward); "recorded" uses the Pallas record +
     O(R) XLA replay estimator (:func:`rayz_tpu.ops.render_diff`) — the
-    fast path for sphere scenes at benchmark sizes.
+    fast path for sphere and/or triangle scenes at benchmark sizes.
     """
     fitted = inject_params(scene, params)
     if engine == "recorded":
@@ -89,8 +104,13 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
 
     With a mesh, pixels+target are sharded across devices, each device
     renders + backprops its shard, and the parameter gradient is psum-reduced
-    (replicated params, data-parallel pixels).
+    (replicated params, data-parallel pixels). ``engine`` applies on the mesh
+    path too: "recorded" runs the Pallas record kernel + O(R) replay per
+    shard (the fast distributed backward); per-device RNG streams come from
+    folding the step key with the device index.
     """
+    if engine not in ("dense", "recorded"):
+        raise ValueError(f"unknown engine {engine!r}")
     if mesh is None:
 
         @jax.jit
@@ -105,12 +125,20 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
         return step
 
     axis = mesh.axis_names[0]
+    recorded = engine == "recorded"
+    interp = default_interpret()
 
     def _loss_grad_shard(params, scene, camera, key, px, py, tgt, weight):
         def local_loss(p):
-            img = _render_shard(
-                inject_params(scene, p), camera, key, px, py, config, axis
-            )
+            fitted = inject_params(scene, p)
+            if recorded:
+                dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
+                img = render_diff_flat(
+                    fitted, camera, dkey, px, py, spp=config.spp,
+                    max_depth=config.max_depth, t_min=config.t_min,
+                    jitter=config.jitter, interpret=interp)
+            else:
+                img = _render_shard(fitted, camera, key, px, py, config, axis)
             return jnp.sum(weight[:, None] * (img - tgt) ** 2)
 
         l, g = jax.value_and_grad(local_loss)(params)
@@ -121,6 +149,10 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
+        # pallas_call outputs carry no varying-manual-axes info, so the vma
+        # checker cannot verify the recorded body; it is collective-free
+        # except the final psums.
+        check_vma=not recorded,
     )
 
     @jax.jit
@@ -153,21 +185,54 @@ def fit(scene: Scene, camera: Camera, target, *, config: RenderConfig,
         steps: int = 200, learning_rate: float = 1e-2,
         fields: Sequence[str] = DEFAULT_TRAINABLE,
         mesh: Optional[Mesh] = None, key=None,
-        callback=None, engine: str = "dense") -> Tuple[Scene, list]:
+        callback=None, engine: str = "dense",
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 50) -> Tuple[Scene, list]:
     """Run Adam on pixel L2 against ``target``; returns (fitted scene,
-    loss history). ``engine`` as in :func:`pixel_loss` (single-device path;
-    the mesh path always differentiates the dense per-shard renderer)."""
+    loss history). ``engine`` as in :func:`pixel_loss`, honored on both the
+    single-device and the mesh path.
+
+    With ``checkpoint_dir``, the trainable params + optimizer state + RNG key
+    are saved (orbax, :mod:`rayz_tpu.diff.checkpoint`) every
+    ``checkpoint_every`` steps and at the end; if the directory already holds
+    a checkpoint, the fit RESUMES from its ``latest_step`` and reproduces the
+    exact trajectory an uninterrupted run would have taken (the step key is
+    part of the checkpoint). ``steps`` counts total steps including resumed
+    ones; the returned history covers only the steps run by this call.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     params = extract_params(scene, fields)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
+    start = 0
+    if checkpoint_dir is not None:
+        from . import checkpoint as ckpt
+
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            # serialize-friendly raw key data (same stream under split)
+            key = jax.random.key_data(key)
+        last = ckpt.latest_step(checkpoint_dir)
+        if last is not None:
+            template = {"params": params, "opt_state": opt_state,
+                        "key": key, "step": 0}
+            st = ckpt.restore_checkpoint(checkpoint_dir, last,
+                                         template=template)
+            params = st["params"]
+            opt_state = st["opt_state"]
+            key = jnp.asarray(st["key"])
+            start = int(st["step"])
     step_fn = make_train_step(optimizer, config, mesh, engine=engine)
     history = []
-    for i in range(steps):
+    for i in range(start, steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step_fn(params, opt_state, scene, camera, sub, target)
         history.append(float(loss))
         if callback is not None:
             callback(i, float(loss), params)
+        if checkpoint_dir is not None and (
+                (i + 1) % checkpoint_every == 0 or i + 1 == steps):
+            ckpt.save_checkpoint(checkpoint_dir, i + 1, {
+                "params": params, "opt_state": opt_state,
+                "key": key, "step": i + 1})
     return inject_params(scene, params), history

@@ -169,18 +169,24 @@ class SceneBuilder:
         self._mat.append((MAT_METALLIC, tex, float(fuzz), 1.0, 0))
         return len(self._mat) - 1
 
-    def add_dielectric(self, refractive_index: float = 1.0) -> int:
+    def add_dielectric(self, refractive_index: float = 1.0,
+                       share: bool = True) -> int:
         """DielectricMaterial (material.zig:134-160).
 
-        Dielectrics with equal IOR are deduplicated to one shared material
-        (the reference allocates one per call, rayz.zig:164, but the material
-        is fully determined by its IOR so renders are identical; sharing keeps
-        the scene's dielectric count structurally small, which enables the
-        megakernel's global-IOR fast path)."""
+        With ``share=True`` (default), dielectrics with equal IOR are
+        deduplicated to one shared material (the reference allocates one per
+        call, rayz.zig:164, but the material is fully determined by its IOR so
+        forward renders are identical; sharing keeps the scene's dielectric
+        count structurally small, which enables the megakernel's global-IOR
+        fast path). CAVEAT for inverse rendering: shared dielectrics are ONE
+        parameter — ``fit(fields=('mat_ior',))`` cannot recover independent
+        IORs for them. Pass ``share=False`` to force a fresh material entry
+        per call (matching the reference's allocation behavior)."""
         entry = (MAT_DIELECTRIC, 0, 0.0, float(refractive_index), 0)
-        for i, m in enumerate(self._mat):
-            if m == entry:
-                return i
+        if share:
+            for i, m in enumerate(self._mat):
+                if m == entry:
+                    return i
         self._mat.append(entry)
         return len(self._mat) - 1
 

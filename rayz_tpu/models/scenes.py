@@ -21,6 +21,8 @@ __all__ = [
     "three_sphere",
     "random_bouncing",
     "cornell_box",
+    "sphere_grid",
+    "sphere_field",
     "SCENES",
 ]
 
@@ -172,9 +174,81 @@ def cornell_box(width: int = 512, height: int = 512, tessellation: int = 12,
     return b.build(dtype=dtype, pad_multiple=128), cam
 
 
+def sphere_grid(n: int = 100, width: int = 64, height: int | None = None,
+                seed: int = 0, dtype=jnp.float32):
+    """BASELINE config 5 scene: ``n`` diffuse spheres on a square grid, one
+    independent albedo each, viewed from above against the sky gradient — the
+    inverse-rendering target ("recover albedo + sphere positions of a
+    100-sphere scene via Adam", BASELINE.json config 5).
+
+    Diffuse scatter uses UNIT_SPHERE (``n + s``, material.zig:78-80), NOT the
+    reference default HEMISPHERE: hemisphere sampling's direction is
+    ``s * sign(s . n)`` — piecewise CONSTANT in the normal, so under sky-only
+    lighting the rendered image carries zero a.e. gradient to sphere
+    geometry. UNIT_SPHERE's ``n + s`` is smooth in the normal and makes
+    position recovery by gradient descent possible."""
+    from .scene import DIFFUSE_UNIT_SPHERE
+
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(n)))
+    b = SceneBuilder()
+    for i in range(n):
+        gx, gz = float(i % side), float(i // side)
+        albedo = 0.1 + 0.8 * rng.random(3)
+        b.add_sphere((gx, 0.0, gz), 0.42,
+                     b.add_diffuse(color=tuple(albedo),
+                                   method=DIFFUSE_UNIT_SPHERE))
+    c = (side - 1) / 2.0
+    dist = 1.25 * side
+    cam = make_camera(
+        width=width, height=height if height is not None else width,
+        vfov=2.0 * np.degrees(np.arctan((side / 2.0 + 0.7) / dist)),
+        focus_dist=dist, defocus_angle=0.0,
+        look_from=(c, dist, c), look_at=(c, 0.0, c), vup=(0.0, 0.0, 1.0),
+        dtype=dtype,
+    )
+    return b.build(dtype=dtype), cam
+
+
+def sphere_field(n: int = 10000, width: int = 512, height: int | None = None,
+                 seed: int = 0, dtype=jnp.float32):
+    """Large-scene stress config: ``n`` random small spheres in a slab, plus
+    a checkered ground — the >=10k-primitive scene where block culling (the
+    BVH capability, /root/reference/src/hit.zig:101-217) must beat the brute-
+    force O(N)-per-ray loop. Material mix mirrors random_bouncing."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    even = b.add_solid_texture((0.2, 0.3, 0.1))
+    odd = b.add_solid_texture((0.9, 0.9, 0.9))
+    checker = b.add_checker_texture(0.32, even, odd)
+    b.add_sphere((0.0, -1000.0, 0.0), 1000.0, b.add_diffuse(texture=checker))
+    side = float(np.sqrt(n))  # keep density constant as n grows
+    for _ in range(n):
+        center = (rng.uniform(-side, side), rng.uniform(0.1, 0.35),
+                  rng.uniform(-side, side))
+        r = rng.uniform(0.08, 0.22)
+        pick = rng.random()
+        if pick < 0.8:
+            m = b.add_diffuse(color=tuple(rng.random(3) * rng.random(3)))
+        elif pick < 0.95:
+            m = b.add_metallic(color=tuple(rng.random(3) * 0.5 + 0.5),
+                               fuzz=rng.random() * 0.5)
+        else:
+            m = b.add_dielectric(1.5)
+        b.add_sphere(center, r, m)
+    cam = make_camera(
+        width=width, height=height, vfov=24.0, focus_dist=10.0,
+        defocus_angle=0.0, look_from=(13, 3, 3), look_at=(0, 0.2, 0),
+        dtype=dtype,
+    )
+    return b.build(dtype=dtype, pad_multiple=128), cam
+
+
 SCENES = {
     "two_sphere": two_sphere,
     "three_sphere": three_sphere,
     "random_bouncing": random_bouncing,
     "cornell_box": cornell_box,
+    "sphere_grid": sphere_grid,
+    "sphere_field": sphere_field,
 }

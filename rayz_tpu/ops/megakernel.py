@@ -58,6 +58,7 @@ from ..models.scene import (
     MAT_METALLIC,
     TEX_SOLID,
     Scene,
+    _round_up,
 )
 
 __all__ = ["render_pallas", "render_pallas_sharded", "supports_scene",
@@ -274,6 +275,79 @@ def _scene_globals(scene: Scene) -> jnp.ndarray:
     return jnp.concatenate([inv_scale[None], ev, od, ior[None]])
 
 
+def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of ``x`` so they occupy every 3rd bit (the
+    standard Morton-code bit-interleave kernel)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton_perm(lo: jnp.ndarray, hi: jnp.ndarray, valid) -> jnp.ndarray:
+    """Permutation sorting primitives by the 30-bit Morton code of their AABB
+    center (invalid/padding columns last). Spatially adjacent primitives land
+    in the same culling block — the TPU-native analogue of the reference
+    BVH's sort-by-axis median split (/root/reference/src/hit.zig:145-159),
+    done once per render as an O(N log N) XLA sort instead of per-ray
+    divergent traversal."""
+    c = 0.5 * (lo + hi)
+    cmin = jnp.min(jnp.where(valid[:, None], c, jnp.inf), axis=0)
+    cmax = jnp.max(jnp.where(valid[:, None], c, -jnp.inf), axis=0)
+    span = jnp.maximum(cmax - cmin, 1e-12)
+    q = jnp.clip(((c - cmin) / span * 1023.0), 0.0, 1023.0).astype(jnp.uint32)
+    code = (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1)
+            | (_part1by2(q[:, 2]) << 2))
+    code = jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(code)
+
+
+def _block_rows(lo: jnp.ndarray, hi: jnp.ndarray, valid, block: int):
+    """[4, N/block] bounding-sphere rows for culling blocks of ``block``
+    consecutive (Morton-sorted) primitives: center xyz and |bc|^2 - br^2 —
+    the same (cx, cy, cz, ccmr2) form the sphere hit test consumes, so the
+    kernel's block test IS a sphere test. Blocks with no valid member get
+    ccmr2 = +BIG (discriminant -> -inf -> never 'possible')."""
+    nb = lo.shape[0] // block
+    lo = jnp.where(valid[:, None], lo, jnp.inf).reshape(nb, block, 3)
+    hi = jnp.where(valid[:, None], hi, -jnp.inf).reshape(nb, block, 3)
+    blo = jnp.min(lo, axis=1)
+    bhi = jnp.max(hi, axis=1)
+    bc = 0.5 * (blo + bhi)
+    br2 = jnp.sum((0.5 * (bhi - blo)) ** 2, axis=1)
+    any_valid = valid.reshape(nb, block).any(axis=1)
+    bc = jnp.where(any_valid[:, None], bc, 0.0)
+    ccmr2 = jnp.where(any_valid, jnp.sum(bc * bc, axis=1) - br2, _BIG)
+    return jnp.stack([bc[:, 0], bc[:, 1], bc[:, 2], ccmr2])
+
+
+def _sphere_aabbs(scene: Scene):
+    """Per-sphere AABB over t in [0, 1] (motion enclosed, geom.zig:24-31)."""
+    c0 = scene.sphere_center.astype(jnp.float32)
+    c1 = c0 + scene.sphere_velocity.astype(jnp.float32)
+    r = scene.sphere_radius.astype(jnp.float32)[:, None]
+    return jnp.minimum(c0, c1) - r, jnp.maximum(c0, c1) + r
+
+
+def _tri_aabbs(scene: Scene):
+    v0 = scene.tri_v0.astype(jnp.float32)
+    v1 = scene.tri_v1.astype(jnp.float32)
+    v2 = scene.tri_v2.astype(jnp.float32)
+    return (jnp.minimum(jnp.minimum(v0, v1), v2),
+            jnp.maximum(jnp.maximum(v0, v1), v2))
+
+
+def _pad_poison(tab: jnp.ndarray, n: int, poison_row: int) -> jnp.ndarray:
+    """Pad a [rows, N] table to N=n columns whose ``poison_row`` is +BIG so
+    they can never win the nearest-hit carry."""
+    pad = n - tab.shape[1]
+    if pad <= 0:
+        return tab
+    tab = jnp.pad(tab, ((0, 0), (0, pad)))
+    return tab.at[poison_row, -pad:].set(_BIG)
+
+
 def _camera_vector(camera: Camera) -> jnp.ndarray:
     """[18] f32: look_from, px_du, px_dv, px_origin, defocus_u, defocus_v."""
     f32 = jnp.float32
@@ -287,15 +361,26 @@ def _camera_vector(camera: Camera) -> jnp.ndarray:
 def _kernel(cam_ref, *args,
             width: int, height: int, n_pad: int, m_pad: int, spp: int,
             max_depth: int, t_min: float, jitter: bool, has_motion: bool,
-            rs: int, unroll: int, gm: bool):
+            rs: int, unroll: int, gm: bool, blk: int = 0):
     """One grid step = one tile of rs*128 persistent ray slots.
 
     ``args`` carries the sphere table iff ``n_pad > 0`` and the triangle
-    table iff ``m_pad > 0`` (an absent primitive class costs nothing), then
-    the seed and the three output refs."""
+    table iff ``m_pad > 0`` (an absent primitive class costs nothing), the
+    per-class culling block tables iff ``blk > 0`` (see ``_block_rows``),
+    then the seed and the three output refs.
+
+    ``blk > 0`` enables block culling — the TPU-native BVH capability
+    (/root/reference/src/hit.zig:101-217): primitives arrive Morton-sorted in
+    blocks of ``blk``; each block's bounding sphere is tested against ALL
+    rays in the tile at once (a handful of VPU ops), and the block's inner
+    loop runs only if ANY active ray could hit it closer than its current
+    best — ``lax.cond`` on a scalar any-reduce, the tile-level analogue of
+    BVH pruning with shrinking tmax."""
     refs = list(args)
     tab_ref = refs.pop(0) if n_pad else None
     tri_ref = refs.pop(0) if m_pad else None
+    sblk_ref = refs.pop(0) if (blk and n_pad) else None
+    tblk_ref = refs.pop(0) if (blk and m_pad) else None
     seed_ref, r_ref, g_ref, b_ref = refs
     f32 = jnp.float32
     i32 = jnp.int32
@@ -506,21 +591,55 @@ def _kernel(cam_ref, *args,
         # unrolled over the PADDED primitive counts: independent dependency
         # chains per iteration for VPU ILP; padding lanes are self-rejecting
         # (see NaN note above).
+        def _culled_loop(h, n_items, blk_ref, one_fn):
+            """Blocks of ``blk`` Morton-adjacent primitives, each guarded by
+            a tile-wide bounding-sphere test (the same quadratic the sphere
+            hit uses, against the block bound) — skip the whole block when no
+            active ray can beat its current best inside the bound."""
+            def block_body(i, h):
+                qb = h[0]
+                bx = blk_ref[0, i]
+                by = blk_ref[1, i]
+                bz = blk_ref[2, i]
+                ccb = blk_ref[3, i]
+                hb = dx * bx + dy * by + dz * bz - d_dot_o
+                ob = ox * bx + oy * by + oz * bz
+                disc = hb * hb - a * (ccb - 2.0 * ob + o2)
+                rtb = jnp.sqrt(disc)  # NaN on miss -> compares false
+                possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
+
+                def run(h):
+                    def inner(k, h):
+                        for u in range(unroll):
+                            h = one_fn(i * blk + k * unroll + u, h)
+                        return h
+                    return jax.lax.fori_loop(0, blk // unroll, inner, h)
+
+                return jax.lax.cond(jnp.any(possible), run, lambda h: h, h)
+
+            return jax.lax.fori_loop(0, n_items // blk, block_body, h)
+
         h = hit0
         if n_pad:
-            def sphere_body(i, h):
-                for k in range(unroll):
-                    h = one_sphere(unroll * i + k, h)
-                return h
-            h = jax.lax.fori_loop(
-                0, (n_pad + unroll - 1) // unroll, sphere_body, h)
+            if blk:
+                h = _culled_loop(h, n_pad, sblk_ref, one_sphere)
+            else:
+                def sphere_body(i, h):
+                    for k in range(unroll):
+                        h = one_sphere(unroll * i + k, h)
+                    return h
+                h = jax.lax.fori_loop(
+                    0, (n_pad + unroll - 1) // unroll, sphere_body, h)
         if m_pad:
-            def tri_body(i, h):
-                for k in range(unroll):
-                    h = one_triangle(unroll * i + k, h)
-                return h
-            h = jax.lax.fori_loop(
-                0, (m_pad + unroll - 1) // unroll, tri_body, h)
+            if blk:
+                h = _culled_loop(h, m_pad, tblk_ref, one_triangle)
+            else:
+                def tri_body(i, h):
+                    for k in range(unroll):
+                        h = one_triangle(unroll * i + k, h)
+                    return h
+                h = jax.lax.fori_loop(
+                    0, (m_pad + unroll - 1) // unroll, tri_body, h)
         qb, bcx, bcy, bcz = h[:4]
         bpk = h[4]
 
@@ -708,10 +827,14 @@ def _kernel(cam_ref, *args,
 
 def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
                  *, spp: int, max_depth: int, t_min: float, jitter: bool,
-                 tile_sublanes: int, unroll: int, interpret):
+                 tile_sublanes: int, unroll: int, interpret, blk: int = 0):
     """Trace ``n_local`` consecutive pixels starting at global index
     ``pix_offset``; returns flat [n_local, 3] radiance sums (divide by spp for
-    the image). This is the unit a device shard executes under shard_map."""
+    the image). This is the unit a device shard executes under shard_map.
+
+    ``blk > 0`` enables block culling: primitives are Morton-sorted, their
+    tables padded to a block multiple (poisoned so padding never hits), and
+    per-block bounding-sphere rows ride along in SMEM."""
     rs = tile_sublanes
     h, w = camera.height, camera.width
     n_tiles = -(-n_local // (rs * 128))
@@ -728,17 +851,44 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
         jnp.asarray(pix_offset, jnp.int32).reshape(()),
     ])
     inputs = [cam]
+    blk_inputs = []
     if n_pad:
-        inputs.append(scene_tables_gm(scene) if gm else scene_tables(scene))
+        stab = scene_tables_gm(scene) if gm else scene_tables(scene)
+        if blk:
+            lo, hi = _sphere_aabbs(scene)
+            perm = _morton_perm(lo, hi, scene.sphere_valid)
+            stab = stab[:, perm]
+            n_pad = _round_up(n_pad, blk)
+            stab = _pad_poison(stab, n_pad, _CCMR2)
+            valid = jnp.pad(scene.sphere_valid[perm],
+                            (0, n_pad - perm.shape[0]))
+            pad3 = ((0, n_pad - perm.shape[0]), (0, 0))
+            blk_inputs.append(_block_rows(jnp.pad(lo[perm], pad3),
+                                          jnp.pad(hi[perm], pad3),
+                                          valid, blk))
+        inputs.append(stab)
     if m_pad:
-        inputs.append(tri_tables_gm(scene) if gm else tri_tables(scene))
+        ttab = tri_tables_gm(scene) if gm else tri_tables(scene)
+        if blk:
+            lo, hi = _tri_aabbs(scene)
+            perm = _morton_perm(lo, hi, scene.tri_valid)
+            ttab = ttab[:, perm]
+            m_pad = _round_up(m_pad, blk)
+            ttab = _pad_poison(ttab, m_pad, _TG1V)
+            valid = jnp.pad(scene.tri_valid[perm], (0, m_pad - perm.shape[0]))
+            pad3 = ((0, m_pad - perm.shape[0]), (0, 0))
+            blk_inputs.append(_block_rows(jnp.pad(lo[perm], pad3),
+                                          jnp.pad(hi[perm], pad3),
+                                          valid, blk))
+        inputs.append(ttab)
+    inputs.extend(blk_inputs)
     inputs.append(seed_arr)
 
     kern = functools.partial(
         _kernel, width=w, height=h, n_pad=n_pad, m_pad=m_pad,
         spp=spp,
         max_depth=max_depth, t_min=t_min, jitter=jitter,
-        has_motion=scene.has_motion, rs=rs, unroll=unroll, gm=gm)
+        has_motion=scene.has_motion, rs=rs, unroll=unroll, gm=gm, blk=blk)
 
     out_shape = jax.ShapeDtypeStruct((nsub, 128), jnp.float32)
     out_spec = pl.BlockSpec((rs, 128), lambda i: (i, 0),
@@ -756,25 +906,43 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
     return flat[:n_local]
 
 
+#: Auto-enable block culling at or above this many primitives (per class
+#: total): below it the bound tests cost more than the skipped work saves.
+CULLING_AUTO_THRESHOLD = 2048
+DEFAULT_BLOCK = 64
+
+
+def _resolve_blk(scene: Scene, culling: Optional[bool],
+                 block_size: int) -> int:
+    if culling is None:
+        n = (scene.sphere_radius.shape[0] if scene.n_spheres else 0) + \
+            (scene.tri_material.shape[0] if scene.n_triangles else 0)
+        culling = n >= CULLING_AUTO_THRESHOLD
+    return block_size if culling else 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "t_min", "jitter", "tile_sublanes",
-                     "unroll", "interpret"),
+                     "unroll", "interpret", "blk"),
 )
 def _render_pallas_impl(scene: Scene, camera: Camera, seed, *, spp: int,
                         max_depth: int, t_min: float, jitter: bool,
-                        tile_sublanes: int, unroll: int, interpret: bool):
+                        tile_sublanes: int, unroll: int, interpret: bool,
+                        blk: int = 0):
     h, w = camera.height, camera.width
     flat = _trace_shard(
         scene, camera, seed, 0, h * w, spp=spp, max_depth=max_depth,
         t_min=t_min, jitter=jitter, tile_sublanes=tile_sublanes,
-        unroll=unroll, interpret=interpret)
+        unroll=unroll, interpret=interpret, blk=blk)
     return (flat.reshape(h, w, 3) / float(spp)).astype(camera.dtype)
 
 
 def render_pallas(scene: Scene, camera: Camera, key, config, *,
                   tile_sublanes: int = 16, unroll: int = 8,
-                  interpret: Optional[bool] = None) -> jnp.ndarray:
+                  interpret: Optional[bool] = None,
+                  culling: Optional[bool] = None,
+                  block_size: int = DEFAULT_BLOCK) -> jnp.ndarray:
     """Render via the fused Pallas megakernel; drop-in for
     :func:`rayz_tpu.ops.integrator.render` on supported scenes.
 
@@ -783,10 +951,16 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
     CPU backend. Defaults tile_sublanes=16 (2048 ray slots/tile) and
     unroll=8 are the empirical optimum on TPU v5e for the ~500-sphere
     flagship scene (19.4 Mrays/s at 512x512 64spp depth 32).
+
+    ``culling``: block culling (the BVH capability, hit.zig:101-217, redone
+    TPU-style — Morton-sorted primitive blocks behind tile-wide bounding-
+    sphere tests). Default None auto-enables at >= CULLING_AUTO_THRESHOLD
+    primitives; pass True/False to force.
     """
     if not supports_scene(scene):
         raise ValueError("megakernel needs a non-empty scene (spheres and/or "
                          "triangles)")
+    blk = _resolve_blk(scene, culling, block_size)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if interpret is True:
@@ -799,15 +973,18 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
     return _render_pallas_impl(
         scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
         t_min=config.t_min, jitter=config.jitter,
-        tile_sublanes=tile_sublanes, unroll=unroll, interpret=interpret)
+        tile_sublanes=tile_sublanes, unroll=unroll, interpret=interpret,
+        blk=blk)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "mesh", "tile_sublanes", "unroll", "interp"),
+    static_argnames=("config", "mesh", "tile_sublanes", "unroll", "interp",
+                     "blk"),
 )
 def _render_sharded_impl(scene: Scene, camera: Camera, seed, *, config, mesh,
-                         tile_sublanes: int, unroll: int, interp: bool):
+                         tile_sublanes: int, unroll: int, interp: bool,
+                         blk: int = 0):
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map as _shard_map
@@ -829,7 +1006,7 @@ def _render_sharded_impl(scene: Scene, camera: Camera, seed, *, config, mesh,
             scene, camera, dseed, idx * shard_px, shard_px,
             spp=config.spp, max_depth=config.max_depth, t_min=config.t_min,
             jitter=config.jitter, tile_sublanes=tile_sublanes, unroll=unroll,
-            interpret=interpret)
+            interpret=interpret, blk=blk)
 
     # check_vma=False: pallas_call out_shapes carry no vma info, and the
     # body is collective-free (pure per-shard compute), so there is nothing
@@ -843,7 +1020,9 @@ def _render_sharded_impl(scene: Scene, camera: Camera, seed, *, config, mesh,
 
 def render_pallas_sharded(scene: Scene, camera: Camera, key, config, mesh, *,
                           tile_sublanes: int = 16, unroll: int = 8,
-                          interpret: Optional[bool] = None) -> jnp.ndarray:
+                          interpret: Optional[bool] = None,
+                          culling: Optional[bool] = None,
+                          block_size: int = DEFAULT_BLOCK) -> jnp.ndarray:
     """Megakernel render with pixels sharded over a 1-D device mesh.
 
     Forward rendering is embarrassingly parallel over pixels (SURVEY.md §2
@@ -864,4 +1043,5 @@ def render_pallas_sharded(scene: Scene, camera: Camera, key, config, mesh, *,
         seed = jnp.asarray(key, jnp.int32)
     return _render_sharded_impl(
         scene, camera, seed, config=config, mesh=mesh,
-        tile_sublanes=tile_sublanes, unroll=unroll, interp=bool(interpret))
+        tile_sublanes=tile_sublanes, unroll=unroll, interp=bool(interpret),
+        blk=_resolve_blk(scene, culling, block_size))

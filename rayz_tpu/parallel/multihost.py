@@ -22,13 +22,21 @@ __all__ = ["initialize", "is_primary_host", "global_mesh", "assemble_global_imag
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Join the multi-host job (no-op for single-process runs).
+    """Join the multi-host job; call FIRST, before any other JAX API.
 
-    Arguments default to JAX's environment auto-detection (TPU pods populate
-    them from the metadata server / launcher env).
+    With no arguments this defers to JAX's cluster auto-detection
+    (``jax.distributed.initialize()`` reads the TPU pod metadata server /
+    Slurm / Open MPI env); explicit arguments skip detection. Idempotent:
+    returns silently if the distributed runtime is already up (e.g. the
+    launcher initialized it). On a plain single-process environment with no
+    detectable cluster, the no-arg form swallows JAX's "coordinator_address
+    should be defined" error and proceeds single-process — explicit arguments
+    never swallow errors.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    from jax._src import distributed
+
+    if distributed.global_state.client is not None:
+        return  # already initialized — idempotent
     kw = {}
     if coordinator_address is not None:
         kw.update(
@@ -36,7 +44,13 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
+    try:
         jax.distributed.initialize(**kw)
+    except ValueError:
+        # Auto-detection found no cluster (single-process run). An explicit
+        # coordinator must not fail silently.
+        if kw:
+            raise
 
 
 def is_primary_host() -> bool:

@@ -71,12 +71,13 @@ def timed_render(render_fn: Callable[[], object], *, width: int, height: int,
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, *, host_tracer: bool = True) -> Iterator[None]:
+def trace(log_dir: str, *, create_perfetto_trace: bool = True) -> Iterator[None]:
     """``jax.profiler`` trace of everything inside the block; view the dump
     with XProf/TensorBoard (`tensorboard --logdir <log_dir>`) for per-kernel
-    device timings and HBM/VMEM stats."""
+    device timings and HBM/VMEM stats. ``create_perfetto_trace`` additionally
+    emits a perfetto-compatible ``.json.gz`` dump next to the XProf one."""
     jax.profiler.start_trace(log_dir, create_perfetto_link=False,
-                             create_perfetto_trace=host_tracer)
+                             create_perfetto_trace=create_perfetto_trace)
     try:
         yield
     finally:

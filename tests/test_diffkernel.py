@@ -33,7 +33,8 @@ def test_supports_diff():
     b = rt.SceneBuilder()
     b.add_triangle((0, 0, -1), (1, 0, -1), (0, 1, -1), b.add_diffuse(color=(1, 0, 0)))
     tri = b.build()
-    assert not supports_diff(tri)
+    assert supports_diff(tri)  # triangles record/replay too (round 2)
+    assert not supports_diff(rt.SceneBuilder().build())  # empty scene
 
 
 def test_forward_matches_dense_deterministic():
@@ -108,14 +109,113 @@ def test_grad_geometry_finite_and_nonzero():
     assert float(jnp.sum(jnp.abs(grads["sphere_center"]))) > 0.0
 
 
-def test_render_diff_rejects_triangles():
-    b = rt.SceneBuilder()
-    b.add_triangle((0, 0, -1), (1, 0, -1), (0, 1, -1), b.add_diffuse(color=(1, 0, 0)))
-    scene = b.build()
+def test_render_diff_rejects_empty_scene():
+    scene = rt.SceneBuilder().build()
     cam = rt.make_camera(width=8, height=8, vfov=55.0, focus_dist=1.0,
                          look_from=(0, 0, 0), look_at=(0, 0, -1))
     try:
         render_diff(scene, cam, 0, rt.RenderConfig(spp=1, max_depth=2))
     except ValueError:
         return
-    raise AssertionError("expected ValueError for triangle scene")
+    raise AssertionError("expected ValueError for empty scene")
+
+
+def _mixed_scene(dtype=jnp.float32, metal_tri: bool = False):
+    """Ground sphere + two triangles in front of it + a hero sphere: exercises
+    the mixed winner-index space (spheres [0, N_pad), triangles N_pad + j)."""
+    b = rt.SceneBuilder()
+    ground = b.add_diffuse(color=(0.5, 0.5, 0.5))
+    tm = (b.add_metallic(color=(0.85, 0.8, 0.75), fuzz=0.0) if metal_tri
+          else b.add_diffuse(color=(0.6, 0.4, 0.3)))
+    b.add_sphere((0, -100.5, -2), 100.0, ground)
+    b.add_sphere((0.9, 0.0, -2.2), 0.4, b.add_metallic(color=(0.8, 0.8, 0.9),
+                                                       fuzz=0.0))
+    b.add_triangle((-1.4, -0.5, -2.0), (0.2, -0.5, -2.0), (-0.6, 0.9, -2.0), tm)
+    b.add_triangle((-1.4, -0.5, -2.4), (-0.6, 0.9, -2.4), (0.2, -0.5, -2.4), tm)
+    scene = b.build(dtype=dtype)
+    cam = rt.make_camera(width=16, height=16, vfov=55.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1), dtype=dtype)
+    return scene, cam
+
+
+def test_forward_matches_dense_deterministic_triangles():
+    """Zero-randomness (fuzz-0 metal everywhere, jitter off) mixed
+    sphere+triangle scene: record/replay must agree with the dense integrator
+    ray for ray — pins the triangle winner-index offset encoding."""
+    b = rt.SceneBuilder()
+    m = b.add_metallic(color=(0.8, 0.7, 0.6), fuzz=0.0)
+    b.add_sphere((0, -100.5, -2), 100.0, m)
+    b.add_triangle((-1.2, -0.4, -2.0), (0.4, -0.4, -2.0), (-0.4, 1.0, -2.1), m)
+    scene = b.build()
+    cam = rt.make_camera(width=16, height=16, vfov=55.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1))
+    cfg = rt.RenderConfig(spp=1, max_depth=6, jitter=False)
+    img_d = np.asarray(render_diff(scene, cam, 0, cfg, interpret=True))
+    img_x = np.asarray(rt.render(scene, cam, jax.random.PRNGKey(0), cfg))
+    np.testing.assert_allclose(img_d, img_x, atol=1e-4)
+
+
+def test_forward_statistical_parity_mixed():
+    scene, cam = _mixed_scene()
+    cfg = rt.RenderConfig(spp=48, max_depth=5)
+    img_d = np.asarray(render_diff(scene, cam, 11, cfg, interpret=True))
+    img_x = np.asarray(rt.render(scene, cam, jax.random.PRNGKey(11), cfg))
+    assert np.mean(np.abs(img_d - img_x)) < 0.02
+    np.testing.assert_allclose(img_d, img_x, atol=0.25)
+
+
+def test_grad_matches_fd_triangle_vertices():
+    """d(loss)/d(tri vertices) of the REPLAY (frozen recorded paths + frozen
+    randoms) vs central finite differences in f64 — the plane-distance/normal
+    reparameterization must be smooth in v0/v1/v2."""
+    from rayz_tpu.models.camera import generate_rays
+    from rayz_tpu.ops.diffkernel import _make_rand, record_paths, replay_paths
+    from rayz_tpu.ops.integrator import _pixel_grid
+
+    scene, cam = _mixed_scene(dtype=jnp.float64)
+    depth, t_min = 4, 1e-3
+    px, py = _pixel_grid(cam)  # 16*16 = 256 = 2 sublane tiles of 128
+    o, d, tm = generate_rays(cam, px, py, None)
+    rand = _make_rand(jax.random.PRNGKey(5), depth, 256, jnp.float64)
+    idx = record_paths(scene, o, d, tm, rand, max_depth=depth, t_min=t_min,
+                       tile_sublanes=2, interpret=True)
+    n_sph_pad = scene.sphere_radius.shape[0]
+    assert (np.asarray(idx) >= n_sph_pad).any(), "no triangle hits recorded"
+
+    def f(v):
+        s = scene.replace(tri_v0=v[0], tri_v1=v[1], tri_v2=v[2])
+        rad = replay_paths(s, o, d, tm, rand, idx, t_min=t_min)
+        return jnp.mean(rad ** 2)
+
+    v = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2])
+    g = np.asarray(jax.grad(f)(v))
+    assert np.all(np.isfinite(g))
+    # FD-check every coordinate of the two REAL triangles' vertices.
+    eps = 1e-6
+    checked = 0
+    for vi in range(3):
+        for ti in range(2):
+            for ci in range(3):
+                dv = jnp.zeros_like(v).at[vi, ti, ci].set(eps)
+                fd = float((f(v + dv) - f(v - dv)) / (2 * eps))
+                assert abs(g[vi, ti, ci] - fd) <= 1e-7 + 1e-4 * abs(fd), (
+                    vi, ti, ci, g[vi, ti, ci], fd)
+                checked += 1
+    assert checked == 18
+    assert np.abs(g[:, :2]).sum() > 0.0  # real vertices got gradient
+    assert np.abs(g[:, 2:]).sum() == 0.0  # padding triangles never win
+
+
+def test_pixel_loss_recorded_triangle_scene_grads():
+    scene, cam = _mixed_scene(dtype=jnp.float64)
+    cfg = rt.RenderConfig(spp=2, max_depth=4)
+    target = jnp.zeros((16, 16, 3), dtype=jnp.float64)
+    params = extract_params(scene, ("tri_v0", "tri_v1", "tri_v2",
+                                    "sphere_center", "tex_color"))
+    f = lambda p: pixel_loss(p, scene, cam, jax.random.PRNGKey(2), target, cfg,
+                             engine="recorded")
+    grads = jax.grad(f)(params)
+    flat, _ = jax.flatten_util.ravel_pytree(grads)
+    assert np.all(np.isfinite(np.asarray(flat)))
+    assert float(jnp.sum(jnp.abs(grads["tri_v0"]))) > 0.0
+    assert float(jnp.sum(jnp.abs(grads["sphere_center"]))) > 0.0

@@ -15,10 +15,19 @@ import rayz_tpu as rt
 from rayz_tpu.diff import extract_params, fit, inject_params, pixel_loss
 
 
-def _setup(dtype=jnp.float64):
+def _setup(dtype=jnp.float64, method=None):
+    """``method=None`` uses the reference-default HEMISPHERE diffuse. NOTE:
+    hemisphere scatter is ``s * sign(s . n)`` — piecewise constant in the
+    normal — so under sky-only lighting GEOMETRY gradients are zero a.e.;
+    geometry grad tests pass ``method=DIFFUSE_UNIT_SPHERE`` (``n + s``,
+    smooth in the normal) to have a nonzero gradient to check."""
+    from rayz_tpu.models.scene import DIFFUSE_HEMISPHERE
+
+    if method is None:
+        method = DIFFUSE_HEMISPHERE
     b = rt.SceneBuilder()
-    ground = b.add_diffuse(color=(0.5, 0.5, 0.5))
-    ball = b.add_diffuse(color=(0.7, 0.3, 0.2))
+    ground = b.add_diffuse(color=(0.5, 0.5, 0.5), method=method)
+    ball = b.add_diffuse(color=(0.7, 0.3, 0.2), method=method)
     b.add_sphere((0, -100.5, -1), 100.0, ground)
     b.add_sphere((0, 0, -1.2), 0.5, ball)
     scene = b.build(dtype=dtype)
@@ -52,10 +61,17 @@ def test_albedo_grad_matches_fd():
 
 
 def test_center_and_radius_grad_match_fd():
-    scene, cam, cfg, key, target = _setup()
+    from rayz_tpu.models.scene import DIFFUSE_UNIT_SPHERE
+
+    scene, cam, cfg, key, target = _setup(method=DIFFUSE_UNIT_SPHERE)
     params = extract_params(scene, ("sphere_center", "sphere_radius"))
     f = lambda p: pixel_loss(p, scene, cam, key, target, cfg)
     grads = jax.grad(f)(params)
+    # geometry gradients must be NONZERO (with UNIT_SPHERE scatter the
+    # estimator depends smoothly on the normal; a zero here would make the
+    # FD comparison vacuous)
+    assert float(jnp.abs(grads["sphere_center"]).sum()) > 0
+    assert float(jnp.abs(grads["sphere_radius"]).sum()) > 0
     # ball center z component (index: sphere 1, axis 2 -> flat 5)
     fd = float(_fd_grad(f, params, "sphere_center", 5, 1e-6))
     ad = float(grads["sphere_center"].reshape(-1)[5])
@@ -64,6 +80,19 @@ def test_center_and_radius_grad_match_fd():
     fd = float(_fd_grad(f, params, "sphere_radius", 1, 1e-6))
     ad = float(grads["sphere_radius"].reshape(-1)[1])
     assert abs(ad - fd) <= 1e-5 + 5e-3 * abs(fd), (ad, fd)
+
+
+def test_hemisphere_diffuse_geometry_grad_is_zero_ae():
+    """Documents an estimator property: with the reference-default HEMISPHERE
+    scatter (direction s * sign(s.n), material.zig:81-84) the radiance is
+    piecewise constant in sphere geometry under sky-only lighting, so AD
+    geometry gradients are exactly zero a.e. (inverse rendering of geometry
+    needs UNIT_SPHERE diffuse, metal, or dielectric paths)."""
+    scene, cam, cfg, key, target = _setup()
+    params = extract_params(scene, ("sphere_center", "sphere_radius"))
+    g = jax.grad(pixel_loss)(params, scene, cam, key, target, cfg)
+    assert float(jnp.abs(g["sphere_center"]).sum()) == 0.0
+    assert float(jnp.abs(g["sphere_radius"]).sum()) == 0.0
 
 
 def test_gradients_finite_on_full_material_mix():

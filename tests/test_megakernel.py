@@ -212,6 +212,45 @@ def test_mixed_sphere_triangle_parity():
     np.testing.assert_allclose(img_p, img_x, atol=1e-4)
 
 
+def test_culling_parity_spheres():
+    """Block culling (Morton sort + per-block bounding-sphere skip) must be
+    invisible in the output: forced-on vs forced-off renders of the ~500
+    sphere scene agree exactly in a deterministic config."""
+    scene, camera = rt.scenes.random_bouncing(width=48)
+    config = rt.RenderConfig(spp=1, max_depth=4, t_min=1e-3, jitter=False)
+    img_off = np.asarray(render_pallas(scene, camera, 0, config,
+                                       tile_sublanes=8, interpret=True,
+                                       culling=False))
+    img_on = np.asarray(render_pallas(scene, camera, 0, config,
+                                      tile_sublanes=8, interpret=True,
+                                      culling=True))
+    assert np.isfinite(img_on).all()
+    np.testing.assert_allclose(img_on, img_off, atol=1e-6)
+
+
+def test_culling_parity_mixed_triangles():
+    """Culling on a mixed sphere+triangle scene (both block tables active,
+    poisoned padding columns in both classes)."""
+    b = SceneBuilder()
+    mirror = b.add_metallic(color=(0.8, 0.8, 0.9), fuzz=0.0)
+    ball = b.add_metallic(color=(0.9, 0.6, 0.3), fuzz=0.0)
+    b.add_quad((-3.0, -0.5, -4.0), (6.0, 0.0, 0.0), (0.0, 0.0, 6.0), mirror)
+    b.add_sphere((0.0, 0.0, -1.2), 0.5, ball)
+    b.add_sphere((0.9, 0.1, -1.8), 0.4, mirror)
+    scene = b.build(dtype=jnp.float32)
+    camera = rt.make_camera(width=32, height=24, vfov=70.0, focus_dist=1.0,
+                            defocus_angle=0.0, look_from=(0, 0.5, 1),
+                            look_at=(0, 0, -1))
+    config = rt.RenderConfig(spp=1, max_depth=4, t_min=1e-3, jitter=False)
+    img_off = np.asarray(render_pallas(scene, camera, 0, config,
+                                       tile_sublanes=8, interpret=True,
+                                       culling=False))
+    img_on = np.asarray(render_pallas(scene, camera, 0, config,
+                                      tile_sublanes=8, interpret=True,
+                                      culling=True, block_size=8))
+    np.testing.assert_allclose(img_on, img_off, atol=1e-6)
+
+
 def test_engine_dispatch():
     from rayz_tpu.ops.engine import pick_engine
     sph, _ = rt.scenes.two_sphere(width=8, height=8)

@@ -71,6 +71,57 @@ def test_sharded_train_step_psum_grads():
     assert min(losses) <= losses[0]
 
 
+def test_sharded_recorded_step_matches_single_device():
+    """Mesh train step with engine='recorded' (Pallas record + O(R) replay per
+    shard). On a zero-randomness scene (fuzz-0 metal, jitter off) the radiance
+    is key-independent, so the sharded psum'd gradients must EQUAL the
+    single-device recorded gradients."""
+    b = rt.SceneBuilder()
+    m = b.add_metallic(color=(0.8, 0.7, 0.6), fuzz=0.0)
+    b.add_sphere((0, -100.5, -2), 100.0, m)
+    b.add_sphere((0, 0, -2), 0.5, m)
+    scene = b.build(dtype=jnp.float64)
+    cam = rt.make_camera(width=16, height=16, vfov=55.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1),
+                         dtype=jnp.float64)
+    cfg = rt.RenderConfig(spp=1, max_depth=4, jitter=False)
+    target = jnp.zeros((16, 16, 3), dtype=jnp.float64)
+    params = extract_params(scene, ("sphere_center", "tex_color"))
+    opt = optax.sgd(1e-2)
+
+    from rayz_tpu.diff import pixel_loss
+    loss_1, grads_1 = jax.value_and_grad(pixel_loss)(
+        params, scene, cam, jax.random.PRNGKey(0), target, cfg, "recorded")
+
+    step = make_train_step(opt, cfg, make_mesh(), engine="recorded")
+    state = opt.init(params)
+    p1, _, loss_8 = step(params, state, scene, cam, jax.random.PRNGKey(0),
+                         target)
+    np.testing.assert_allclose(float(loss_8), float(loss_1), rtol=1e-12)
+    expected = optax.apply_updates(
+        params, opt.update(grads_1, opt.init(params), params)[0])
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(expected[k]),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_recorded_step_stochastic_progress():
+    scene, cam = rt.scenes.two_sphere(width=16, height=16, dtype=jnp.float64)
+    cfg = rt.RenderConfig(spp=2, max_depth=3)
+    target = rt.render(scene, cam, jax.random.PRNGKey(7), cfg)
+    params = extract_params(scene, ("tex_color",))
+    opt = optax.adam(1e-2)
+    step = make_train_step(opt, cfg, make_mesh(), engine="recorded")
+    s = opt.init(params)
+    p = params
+    losses = []
+    for i in range(4):
+        p, s, l = step(p, s, scene, cam, jax.random.PRNGKey(i), target)
+        losses.append(float(l))
+    assert all(np.isfinite(losses))
+    assert min(losses) <= losses[0]
+
+
 def test_dryrun_multichip_entrypoint():
     import sys, pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
