@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     p.add_argument("output", nargs="?", default=None,
                    help="output path (.ppm or .png); default: PPM to stdout")
     p.add_argument("--scene", default="random_bouncing", choices=sorted(scenes.SCENES))
+    p.add_argument("--height", type=int, default=None,
+                   help="image height (default: the scene's own aspect — "
+                        "16:9 like the reference, or square)")
     p.add_argument("--spp", type=int, default=10,
                    help="samples per pixel (reference default 10)")
     p.add_argument("--depth", type=int, default=50,
@@ -44,7 +47,8 @@ def main(argv=None) -> int:
                         "scenes) or the pure-XLA integrator")
     args = p.parse_args(argv)
 
-    scene, camera = scenes.SCENES[args.scene](width=args.width)
+    scene, camera = scenes.SCENES[args.scene](width=args.width,
+                                              height=args.height)
     cfg = RenderConfig(spp=args.spp, max_depth=args.depth, t_min=args.t_min,
                        chunk_size=args.chunk)
     key = jax.random.PRNGKey(args.seed)

@@ -173,7 +173,12 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
             # or gradient — weight them to zero.
             weight = jnp.concatenate([weight, jnp.zeros((pad,), weight.dtype)])
         loss_sum, grads = sharded_lg(params, scene, camera, key, px, py, tgt, weight)
-        loss = loss_sum / (n_px * 3)
+        # per-shard losses are SUMS (psum-reducible); normalize loss AND
+        # grads to the MEAN so step sizes match the single-device pixel_loss
+        # exactly (same lr semantics on and off the mesh).
+        denom = n_px * 3
+        loss = loss_sum / denom
+        grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -27,9 +27,11 @@ __all__ = [
 ]
 
 
-def two_sphere(width: int = 256, height: int = 256, dtype=jnp.float32):
+def two_sphere(width: int = 256, height: int | None = None, dtype=jnp.float32):
     """BASELINE config 1: single Lambertian sphere + ground sphere, gradient
-    sky (the classic RTIOW opener)."""
+    sky (the classic RTIOW opener). Default height: square."""
+    if height is None:
+        height = width
     b = SceneBuilder()
     ground = b.add_diffuse(color=(0.8, 0.8, 0.0))
     center = b.add_diffuse(color=(0.1, 0.2, 0.5))
@@ -118,9 +120,10 @@ def random_bouncing(width: int = 512, height: int | None = None,
     return b.build(dtype=dtype, pad_multiple=128), cam
 
 
-def cornell_box(width: int = 512, height: int = 512, tessellation: int = 12,
-                dtype=jnp.float32):
+def cornell_box(width: int = 512, height: int | None = None,
+                tessellation: int = 12, dtype=jnp.float32):
     """BASELINE config 4: triangle-mesh Cornell box (~1k triangles).
+    Default height: square.
 
     Walls/floor/ceiling/back are tessellated into a grid of quads (2 triangles
     each) plus two interior boxes; with the default tessellation this yields
@@ -128,6 +131,8 @@ def cornell_box(width: int = 512, height: int = 512, tessellation: int = 12,
     ray-triangle path at benchmark scale. Lit by the sky gradient through the
     open front (the reference has no emissive materials to borrow).
     """
+    if height is None:
+        height = width
     b = SceneBuilder()
     white = b.add_diffuse(color=(0.73, 0.73, 0.73))
     red = b.add_diffuse(color=(0.65, 0.05, 0.05))

@@ -1,0 +1,69 @@
+"""Block-culling crossover benchmark (run on the real TPU).
+
+Renders the ``sphere_field`` stress scene at several primitive counts with
+culling forced OFF (brute-force O(N) sphere loop) and ON (Morton-sorted
+blocks behind tile-wide bound tests), recording forward Mrays/s for each.
+This is the scaling capability the reference gets from its BVH
+(/root/reference/src/hit.zig:101-217).
+
+Writes one JSON object per line to stdout and (with --out) a JSON file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+import rayz_tpu as rt
+from rayz_tpu.ops.megakernel import render_pallas
+
+
+def time_render(scene, camera, config, culling: bool, seeds=(1, 2)) -> float:
+    def run(seed):
+        return jax.device_get(render_pallas(scene, camera, seed, config,
+                                            culling=culling))
+
+    run(0)  # compile
+    best = float("inf")
+    for s in seeds:
+        t0 = time.perf_counter()
+        run(s)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--depth", type=int, default=8)
+    p.add_argument("--counts", type=int, nargs="+",
+                   default=[512, 2048, 10000, 20000])
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
+    results = []
+    for n in args.counts:
+        scene, camera = rt.scenes.sphere_field(n, width=args.width)
+        config = rt.RenderConfig(spp=args.spp, max_depth=args.depth,
+                                 t_min=1e-3)
+        rays = camera.width * camera.height * args.spp
+        row = {"n_spheres": n, "width": args.width, "spp": args.spp,
+               "depth": args.depth}
+        for mode in (False, True):
+            dt = time_render(scene, camera, config, culling=mode)
+            row["culling_on" if mode else "brute_force"] = round(
+                rays / dt / 1e6, 3)
+        row["speedup"] = round(row["culling_on"] / row["brute_force"], 2)
+        print(json.dumps(row))
+        results.append(row)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"unit": "Mrays/s", "rows": results}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,55 @@ def check(name: str, width: int, spp: int, depth: int, tol: float) -> bool:
     return ok
 
 
+def check_recorded(name: str, width: int, spp: int, depth: int,
+                   tol: float) -> bool:
+    """Record/replay estimator (the differentiable path) vs the XLA
+    integrator, stochastic, on the real chip."""
+    from rayz_tpu.ops.diffkernel import render_diff, supports_diff
+
+    scene, camera = rt.scenes.SCENES[name](width=width)
+    if not supports_diff(scene):
+        print(f"SKIP recorded/{name}: unsupported scene")
+        return True
+    cfg = rt.RenderConfig(spp=spp, max_depth=depth, t_min=1e-3)
+    img_d = np.asarray(jax.device_get(render_diff(scene, camera, 1, cfg)))
+    img_x = np.asarray(jax.device_get(
+        rt.render(scene, camera, jax.random.PRNGKey(1), cfg)))
+    mae = float(np.mean(np.abs(img_d - img_x)))
+    ok = mae < tol and np.isfinite(img_d).all()
+    print(f"{'OK  ' if ok else 'FAIL'} recorded/{name:16s} mae={mae:.4f} "
+          f"tol={tol}")
+    return ok
+
+
+def check_checker_two_ior(width: int, spp: int, tol: float) -> bool:
+    """Non-gm decode stress on real hardware: checker texture + two distinct
+    dielectric IORs (gm fast path statically disabled), true in-kernel Schlick
+    randomness vs the XLA oracle."""
+    b = rt.SceneBuilder()
+    even = b.add_solid_texture((0.2, 0.3, 0.1))
+    odd = b.add_solid_texture((0.9, 0.9, 0.9))
+    checker = b.add_checker_texture(0.45, even, odd)
+    b.add_sphere((0, -100.5, -2), 100.0, b.add_diffuse(texture=checker))
+    b.add_sphere((-0.55, 0, -2), 0.5, b.add_dielectric(1.5))
+    b.add_sphere((0.55, 0, -2), 0.5, b.add_dielectric(1.0 / 1.5))
+    scene = b.build()
+    from rayz_tpu.ops.megakernel import use_global_materials
+    assert not use_global_materials(scene)
+    camera = rt.make_camera(width=width, height=width, vfov=55.0,
+                            focus_dist=1.0, look_from=(0, 0, 0),
+                            look_at=(0, 0, -1))
+    cfg = rt.RenderConfig(spp=spp, max_depth=12, t_min=1e-3)
+    img_p = np.asarray(jax.device_get(render_pallas(scene, camera, 1, cfg)))
+    img_x = np.asarray(jax.device_get(
+        rt.render(scene, camera, jax.random.PRNGKey(1), cfg)))
+    mae = float(np.mean(np.abs(img_p - img_x)))
+    ok = mae < tol and np.isfinite(img_p).all()
+    print(f"{'OK  ' if ok else 'FAIL'} checker_two_ior   mae={mae:.4f} "
+          f"tol={tol}")
+    return ok
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=128)
@@ -53,6 +102,12 @@ def main() -> int:
     for name, depth in [("two_sphere", 8), ("three_sphere", 16),
                         ("random_bouncing", 16), ("cornell_box", 8)]:
         ok &= check(name, args.width, args.spp, depth, tol)
+    ok &= check_checker_two_ior(args.width, args.spp, tol)
+    # the differentiable record/replay estimator, same distribution test
+    for name, depth in [("three_sphere", 12), ("sphere_grid", 6),
+                        ("cornell_box", 8)]:
+        ok &= check_recorded(name, args.width, min(args.spp, 64), depth,
+                             0.02 * (256.0 / min(args.spp, 64)) ** 0.5)
     return 0 if ok else 1
 
 

@@ -164,6 +164,32 @@ def test_forward_statistical_parity_mixed():
     np.testing.assert_allclose(img_d, img_x, atol=0.25)
 
 
+def test_forward_statistical_parity_checker_two_iors():
+    """Checker texture + TWO distinct dielectric IORs in one scene: the
+    record kernel's shared ior-or-scale row and the replay's material columns
+    must decode per winner (the gm fast path cannot hide it here — the scene
+    is not gm-eligible). Randomness is host-supplied, so the true Schlick
+    refract/reflect mix runs on CPU; parity vs the dense integrator is
+    statistical (independent streams)."""
+    b = rt.SceneBuilder()
+    even = b.add_solid_texture((0.2, 0.3, 0.1))
+    odd = b.add_solid_texture((0.9, 0.9, 0.9))
+    checker = b.add_checker_texture(0.45, even, odd)
+    b.add_sphere((0, -100.5, -2), 100.0, b.add_diffuse(texture=checker))
+    b.add_sphere((-0.55, 0, -2), 0.5, b.add_dielectric(1.5))
+    b.add_sphere((0.55, 0, -2), 0.5, b.add_dielectric(1.0 / 1.5))
+    scene = b.build()
+    from rayz_tpu.ops.megakernel import use_global_materials
+    assert not use_global_materials(scene)
+    cam = rt.make_camera(width=16, height=16, vfov=55.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1))
+    cfg = rt.RenderConfig(spp=48, max_depth=6)
+    img_d = np.asarray(render_diff(scene, cam, 13, cfg, interpret=True))
+    img_x = np.asarray(rt.render(scene, cam, jax.random.PRNGKey(13), cfg))
+    assert np.mean(np.abs(img_d - img_x)) < 0.025
+    np.testing.assert_allclose(img_d, img_x, atol=0.3)
+
+
 def test_grad_matches_fd_triangle_vertices():
     """d(loss)/d(tri vertices) of the REPLAY (frozen recorded paths + frozen
     randoms) vs central finite differences in f64 — the plane-distance/normal

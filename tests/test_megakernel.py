@@ -212,6 +212,45 @@ def test_mixed_sphere_triangle_parity():
     np.testing.assert_allclose(img_p, img_x, atol=1e-4)
 
 
+def test_full_table_decode_deep_parity():
+    """Deep (depth 4) deterministic scene that DISABLES the gm fast path —
+    two distinct checker textures — so every bounce decodes the full
+    per-primitive table (packed kind/method/fuzz + the shared ior-or-scale
+    row + per-winner even/odd colors, megakernel.py _material_rows). Checked
+    against the XLA oracle AND against the gm-eligible variant's math by
+    construction (fuzz-0 metal between two checkered diffuse surfaces:
+    multi-bounce, multi-checker, winner carry swaps tables every bounce)."""
+    b = SceneBuilder()
+    e1 = b.add_solid_texture((0.2, 0.3, 0.1))
+    o1 = b.add_solid_texture((0.9, 0.9, 0.9))
+    c1 = b.add_checker_texture(0.4, e1, o1)
+    e2 = b.add_solid_texture((0.7, 0.2, 0.2))
+    o2 = b.add_solid_texture((0.1, 0.1, 0.6))
+    c2 = b.add_checker_texture(0.9, e2, o2)
+    # fuzz-0 METAL with checker textures: deterministic bounce directions
+    # (diffuse would consume randomness and diverge from the oracle's RNG)
+    # while still decoding checker scale + even/odd per winner every bounce.
+    ground = b.add_metallic(texture=c1, fuzz=0.0)
+    wall = b.add_metallic(texture=c2, fuzz=0.0)
+    mirror = b.add_metallic(color=(0.85, 0.85, 0.95), fuzz=0.0)
+    b.add_sphere((0, -100.5, -2), 100.0, ground)
+    b.add_sphere((0, 100.8, -2), 100.0, wall)
+    b.add_sphere((0, 0.1, -2.2), 0.6, mirror)
+    b.add_sphere((-1.1, 0.0, -2.0), 0.45, mirror)
+    scene = b.build(dtype=jnp.float32)
+    from rayz_tpu.ops.megakernel import use_global_materials
+    assert not use_global_materials(scene)  # two checkers: full tables
+    camera = rt.make_camera(width=24, height=24, vfov=60.0, focus_dist=1.0,
+                            defocus_angle=0.0, look_from=(0, 0.2, 0.6),
+                            look_at=(0, 0, -2))
+    config = rt.RenderConfig(spp=1, max_depth=4, t_min=1e-3, jitter=False)
+    img_p, img_x = _render_both(scene, camera, config)
+    assert np.isfinite(img_p).all()
+    np.testing.assert_allclose(img_p, img_x, atol=1e-4)
+    # the render must actually see both checker patterns (odd+even of both)
+    assert img_x.std() > 0.05
+
+
 def test_culling_parity_spheres():
     """Block culling (Morton sort + per-block bounding-sphere skip) must be
     invisible in the output: forced-on vs forced-off renders of the ~500
