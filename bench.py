@@ -35,6 +35,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 import rayz_tpu as rt
 from rayz_tpu.diff import extract_params, pixel_loss
@@ -70,6 +71,12 @@ def main() -> None:
     fwd_mrays = rays / _best_of(run_fwd) / 1e6
 
     # ---- forward+backward: grad of pixel L2 through record/replay ----
+    # Microbatched gradient accumulation: one spp=MICRO graph reused
+    # SPP/MICRO times per measurement (standard large-batch training shape;
+    # also keeps each device call short for the tunneled platform, whose RPC
+    # dies on multi-ten-second executions).
+    MICRO = 8
+    micro_cfg = rt.RenderConfig(spp=MICRO, max_depth=DEPTH, t_min=1e-3)
     target = jax.device_put(run_fwd(0))
     params = extract_params(scene)
     grad_fn = jax.jit(
@@ -77,9 +84,15 @@ def main() -> None:
         static_argnames=("config", "engine"))
 
     def run_fwdbwd(seed: int):
-        return jax.device_get(grad_fn(
-            params, scene, camera, jax.random.PRNGKey(seed), target,
-            config, "recorded"))
+        key = jax.random.PRNGKey(seed)
+        total = None
+        for i in range(SPP // MICRO):
+            loss, g = grad_fn(params, scene, camera,
+                              jax.random.fold_in(key, i), target,
+                              micro_cfg, "recorded")
+            total = g if total is None else jax.tree_util.tree_map(
+                jnp.add, total, g)
+        return jax.device_get((loss, total))
 
     run_fwdbwd(0)  # compile
     fwdbwd_mrays = rays / _best_of(run_fwdbwd) / 1e6
