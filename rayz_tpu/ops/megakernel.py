@@ -118,6 +118,22 @@ def supports_scene(scene: Scene) -> bool:
     return scene.n_spheres > 0 or scene.n_triangles > 0
 
 
+def fits_smem(scene: Scene) -> bool:
+    """Whether the scene's flattened tables fit the kernel's SMEM budget
+    (v5e SMEM is 1 MiB; the whole scene rides there). ~16k primitives in gm
+    mode, ~13k in full-table mode; beyond that ``pick_engine('auto')`` falls
+    back to the XLA integrator."""
+    gm = use_global_materials(scene)
+    n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
+    m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
+    rows_s = _GNROWS if gm else _NROWS
+    rows_t = _TGNROWS if gm else _TNROWS
+    # + per-block culling rows (4 per 64 primitives) + camera/seed slack
+    est = 4 * (rows_s * n_pad + rows_t * m_pad
+               + 4 * ((n_pad + m_pad) // 64 + 2) + 32)
+    return est <= 880_000
+
+
 def _material_rows(scene: Scene, mat: jnp.ndarray):
     """Per-primitive material/texture rows shared by the sphere and triangle
     tables: packed (kind, method, fuzz), ior-or-checker-scale, and the
@@ -395,22 +411,16 @@ def _kernel(cam_ref, *args,
         bits = pltpu.prng_random_bits(shape)
         return (bits & 0x7FFFFF).astype(f32) * (2.0 ** -23)
 
-    def gauss3():
-        # Box-Muller: three N(0,1) draws from four uniforms.
-        u1 = jnp.maximum(uniform(), 1e-12)
-        u2 = uniform()
-        u3 = jnp.maximum(uniform(), 1e-12)
-        u4 = uniform()
-        r1 = jnp.sqrt(-2.0 * jnp.log(u1))
-        r2 = jnp.sqrt(-2.0 * jnp.log(u3))
-        a1 = _TWO_PI * u2
-        a2 = _TWO_PI * u4
-        return r1 * jnp.cos(a1), r1 * jnp.sin(a1), r2 * jnp.cos(a2)
-
     def unit3():
-        gx, gy, gz = gauss3()
-        inv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-24))
-        return gx * inv, gy * inv, gz * inv
+        # Uniform direction via the cylinder map (Archimedes): z ~ U[-1,1],
+        # phi ~ U[0,2pi). Same distribution as a normalized Gaussian triple
+        # but 1 sqrt + 1 cos + 1 sin instead of Box-Muller's 2 log + 2 sqrt
+        # + 3 trig + rsqrt — the sampling block is a large fixed cost per
+        # bounce (PERF.md), so transcendental count matters.
+        z = 2.0 * uniform() - 1.0
+        phi = _TWO_PI * uniform()
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-24))
+        return r * jnp.cos(phi), r * jnp.sin(phi), z
 
     # Slot -> pixel (row-major, renderer.zig:80-96 layout).
     sub = jax.lax.broadcasted_iota(i32, shape, 0)
@@ -883,6 +893,14 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
         inputs.append(ttab)
     inputs.extend(blk_inputs)
     inputs.append(seed_arr)
+
+    smem_bytes = sum(4 * int(jnp.size(x)) for x in inputs)
+    if smem_bytes > 900_000:  # v5e SMEM is 1 MiB; leave headroom
+        raise ValueError(
+            f"scene tables need {smem_bytes} bytes of SMEM (> ~900KB budget: "
+            f"{n_pad} padded spheres + {m_pad} padded triangles). The "
+            "megakernel holds the whole scene in SMEM; above ~16k primitives "
+            "use engine='xla' (rayz_tpu.render) or split the scene.")
 
     kern = functools.partial(
         _kernel, width=w, height=h, n_pad=n_pad, m_pad=m_pad,

@@ -11,6 +11,10 @@ import argparse
 import json
 import time
 
+import sys
+
+sys.path.insert(0, ".")
+
 import jax
 
 import rayz_tpu as rt
@@ -47,7 +51,7 @@ def main() -> None:
         row = {"config": name, "width": camera.width,
                "height": camera.height, "spp": spp, "depth": depth,
                "fwd_mrays_per_s": round(rays / best / 1e6, 3)}
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
         rows.append(row)
     if args.out:
         with open(args.out, "w") as f:

@@ -15,6 +15,10 @@ import argparse
 import json
 import time
 
+import sys
+
+sys.path.insert(0, ".")
+
 import jax
 
 import rayz_tpu as rt
@@ -41,7 +45,7 @@ def main() -> None:
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--counts", type=int, nargs="+",
-                   default=[512, 2048, 10000, 20000])
+                   default=[512, 2048, 10000, 16000])
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -58,7 +62,7 @@ def main() -> None:
             row["culling_on" if mode else "brute_force"] = round(
                 rays / dt / 1e6, 3)
         row["speedup"] = round(row["culling_on"] / row["brute_force"], 2)
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
         results.append(row)
     if args.out:
         with open(args.out, "w") as f:

@@ -122,11 +122,18 @@ def test_render_diff_rejects_empty_scene():
 
 def _mixed_scene(dtype=jnp.float32, metal_tri: bool = False):
     """Ground sphere + two triangles in front of it + a hero sphere: exercises
-    the mixed winner-index space (spheres [0, N_pad), triangles N_pad + j)."""
+    the mixed winner-index space (spheres [0, N_pad), triangles N_pad + j).
+    Diffuse surfaces use UNIT_SPHERE scatter (n + s) so GEOMETRY carries
+    gradient — the reference-default HEMISPHERE's direction is piecewise
+    constant in the normal (see test_grad.py)."""
+    from rayz_tpu.models.scene import DIFFUSE_UNIT_SPHERE
+
     b = rt.SceneBuilder()
-    ground = b.add_diffuse(color=(0.5, 0.5, 0.5))
+    ground = b.add_diffuse(color=(0.5, 0.5, 0.5),
+                           method=DIFFUSE_UNIT_SPHERE)
     tm = (b.add_metallic(color=(0.85, 0.8, 0.75), fuzz=0.0) if metal_tri
-          else b.add_diffuse(color=(0.6, 0.4, 0.3)))
+          else b.add_diffuse(color=(0.6, 0.4, 0.3),
+                             method=DIFFUSE_UNIT_SPHERE))
     b.add_sphere((0, -100.5, -2), 100.0, ground)
     b.add_sphere((0.9, 0.0, -2.2), 0.4, b.add_metallic(color=(0.8, 0.8, 0.9),
                                                        fuzz=0.0))

@@ -212,6 +212,21 @@ def test_mixed_sphere_triangle_parity():
     np.testing.assert_allclose(img_p, img_x, atol=1e-4)
 
 
+def test_fits_smem_budget():
+    """Auto engine must fall back to XLA when the scene tables exceed the
+    1 MiB SMEM (the megakernel keeps the whole scene there)."""
+    from rayz_tpu.ops.megakernel import fits_smem
+
+    small, _ = rt.scenes.two_sphere(width=8, height=8)
+    assert fits_smem(small)
+    n = 20096  # gm tables alone = 13 * 20096 * 4B > 1 MiB
+    big = small.replace(
+        sphere_center=jnp.zeros((n, 3)), sphere_velocity=jnp.zeros((n, 3)),
+        sphere_radius=jnp.ones((n,)), sphere_material=jnp.zeros((n,), jnp.int32),
+        sphere_valid=jnp.ones((n,), bool), n_spheres=n)
+    assert not fits_smem(big)
+
+
 def test_full_table_decode_deep_parity():
     """Deep (depth 4) deterministic scene that DISABLES the gm fast path —
     two distinct checker textures — so every bounce decodes the full
