@@ -13,10 +13,22 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import jax
+
+# Honor an explicit JAX_PLATFORMS env var even on images whose sitecustomize
+# force-sets the platform list through jax.config AFTER the env var is read
+# (jax.config wins over the env var, so `JAX_PLATFORMS=cpu python -m
+# rayz_tpu` would otherwise still hit the TPU).
+_env_platforms = os.environ.get("JAX_PLATFORMS")
+if _env_platforms:
+    try:
+        jax.config.update("jax_platforms", _env_platforms)
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
 
 from . import RenderConfig, render_fast, render_jit, scenes, write_png, write_ppm
 from .ops.engine import pick_engine

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 from ..models.scene import Scene
 from ..utils import vec
 
-__all__ = ["HitRecord", "intersect", "intersect_spheres", "intersect_triangles", "aabb_hit"]
+__all__ = ["HitRecord", "intersect", "intersect_spheres",
+           "intersect_triangles", "aabb_hit", "aabb_enclose",
+           "aabb_longest_axis", "sphere_aabb"]
 
 # Primitive kind codes in HitRecord.kind
 PRIM_SPHERE = 0
@@ -244,3 +246,27 @@ def aabb_hit(low, high, origin, direction, t_min, t_max):
     t0 = jnp.maximum(jnp.max(lo, axis=-1), t_min)
     t1 = jnp.minimum(jnp.min(hi, axis=-1), t_max)
     return t1 > t0
+
+
+def aabb_enclose(low_a, high_a, low_b, high_b):
+    """Union of two AABBs — AABB.enclose (hit.zig:55-60) in batched array
+    form; the megakernel's culling blocks use the same min/max reduction over
+    whole Morton groups (megakernel._block_rows)."""
+    return jnp.minimum(low_a, low_b), jnp.maximum(high_a, high_b)
+
+
+def aabb_longest_axis(low, high):
+    """Index of the widest axis — AABB.longestAxis via V3.amax
+    (hit.zig:62-64, vec.zig:150-157). The reference BVH median-splits on it;
+    the TPU-native analogue orders primitives by 3-D Morton code instead
+    (megakernel._morton_perm), which needs no per-node axis choice."""
+    return jnp.argmax(high - low, axis=-1).astype(jnp.int32)
+
+
+def sphere_aabb(center0, velocity, radius):
+    """AABB of a (possibly moving) sphere over t in [0, 1] — the box of the
+    t=0 and t=1 boxes, Sphere.boundingBox (geom.zig:24-31)."""
+    r = radius[..., None]
+    lo0, hi0 = center0 - r, center0 + r
+    c1 = center0 + velocity
+    return aabb_enclose(lo0, hi0, c1 - r, c1 + r)

@@ -26,7 +26,10 @@ Design
   loop carries the running-best hit's attributes (effective center, material
   kind/fuzz/ior, checker colors) via ``where(better, ...)`` selects on SMEM
   scalars — the TPU analogue of the BVH's shrinking-tmax nearest-hit update
-  (hit.zig:197-214).
+  (hit.zig:197-214). By default each unroll group's candidates merge through
+  a tournament tree (log2 depth) instead of a serial select chain: the
+  nearest-hit carry is the kernel's longest dependency chain, and the tree
+  is worth ~15% end-to-end (``tree=False`` restores the chain; bit-exact).
 * **In-kernel PRNG**: ``pltpu.prng_random_bits`` per tile stream (seeded by
   ``seed + tile``), replacing the reference's xoshiro (renderer.zig:55-59).
   Distribution-parity, not bit-parity (SURVEY.md §7 "RNG parity").
@@ -37,8 +40,9 @@ solid, rayz.zig:57-66 — plus the triangle capability of BASELINE config 4).
 Triangles run as a second SMEM-scalar loop after the spheres, tracking the
 same winner carry; a per-slot flag records whether the winner is a triangle
 (normal = stored plane normal) or a sphere (normal = hit point − stored
-center). Deeper texture nests degrade to the child's base color. Gradients
-fall back to the XLA integrator (this kernel is forward-only).
+center). Deeper texture nests degrade to the child's base color. This kernel
+is forward-only: gradients run through the record/replay estimator
+(:mod:`rayz_tpu.ops.diffkernel`) or the dense XLA integrator.
 """
 
 from __future__ import annotations
@@ -62,8 +66,8 @@ from ..models.scene import (
 )
 
 __all__ = ["render_pallas", "render_pallas_sharded", "supports_scene",
-           "scene_tables", "tri_tables", "scene_tables_gm", "tri_tables_gm",
-           "use_global_materials", "is_prng_key"]
+           "fits_smem", "scene_tables", "tri_tables", "scene_tables_gm",
+           "tri_tables_gm", "use_global_materials", "is_prng_key"]
 
 
 def is_prng_key(key) -> bool:
@@ -377,7 +381,8 @@ def _camera_vector(camera: Camera) -> jnp.ndarray:
 def _kernel(cam_ref, *args,
             width: int, height: int, n_pad: int, m_pad: int, spp: int,
             max_depth: int, t_min: float, jitter: bool, has_motion: bool,
-            rs: int, unroll: int, gm: bool, blk: int = 0):
+            rs: int, unroll: int, gm: bool, blk: int = 0,
+            tree: bool = True):
     """One grid step = one tile of rs*128 persistent ray slots.
 
     ``args`` carries the sphere table iff ``n_pad > 0`` and the triangle
@@ -601,11 +606,14 @@ def _kernel(cam_ref, *args,
         # unrolled over the PADDED primitive counts: independent dependency
         # chains per iteration for VPU ILP; padding lanes are self-rejecting
         # (see NaN note above).
-        def _culled_loop(h, n_items, blk_ref, one_fn):
+        def _culled_loop(h, n_items, blk_ref, group_fn):
             """Blocks of ``blk`` Morton-adjacent primitives, each guarded by
             a tile-wide bounding-sphere test (the same quadratic the sphere
             hit uses, against the block bound) — skip the whole block when no
-            active ray can beat its current best inside the bound."""
+            active ray can beat its current best inside the bound.
+            ``group_fn(g, h)`` sweeps primitives [g*unroll, (g+1)*unroll)."""
+            gpb = blk // unroll  # groups per block
+
             def block_body(i, h):
                 qb = h[0]
                 bx = blk_ref[0, i]
@@ -619,37 +627,107 @@ def _kernel(cam_ref, *args,
                 possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
 
                 def run(h):
-                    def inner(k, h):
-                        for u in range(unroll):
-                            h = one_fn(i * blk + k * unroll + u, h)
-                        return h
-                    return jax.lax.fori_loop(0, blk // unroll, inner, h)
+                    return jax.lax.fori_loop(
+                        0, gpb, lambda k, h: group_fn(i * gpb + k, h), h)
 
                 return jax.lax.cond(jnp.any(possible), run, lambda h: h, h)
 
             return jax.lax.fori_loop(0, n_items // blk, block_body, h)
 
+        def sphere_candidate(j):
+            """Independent nearest-hit candidate for sphere j: (qv, center,
+            attrs) with invalid roots already poisoned to +BIG — lets a
+            tournament tree merge 'unroll' candidates in log2 depth instead
+            of the data-dependent select chain (one_sphere's qb carry
+            serializes 'unroll' deep per group)."""
+            cx = tab_ref[_CX, j]
+            cy = tab_ref[_CY, j]
+            cz = tab_ref[_CZ, j]
+            ccmr2 = tab_ref[_CCMR2, j]
+            if has_motion:
+                cxe = cx + tau * tab_ref[_VX, j]
+                cye = cy + tau * tab_ref[_VY, j]
+                cze = cz + tau * tab_ref[_VZ, j]
+                ccmr2 = ccmr2 + tab_ref[_CV2, j] * tau + tab_ref[_VV, j] * tau2
+            else:
+                cxe, cye, cze = cx, cy, cz
+            half_b = dx * cxe + dy * cye + dz * cze - d_dot_o
+            o_dot_c = ox * cxe + oy * cye + oz * cze
+            c_term = ccmr2 - 2.0 * o_dot_c + o2
+            disc = half_b * half_b - a * c_term
+            rt = jnp.sqrt(disc)  # NaN -> both roots compare false -> BIG
+            q1 = half_b - rt
+            q2 = half_b + rt
+            qv = jnp.where(q1 >= tmin_a, q1, q2)
+            qv = jnp.where(qv >= tmin_a, qv, _BIG)
+            # attrs stay SMEM scalars until a vector-masked merge touches
+            # them — jnp.where broadcasts lazily, no upfront materialization
+            return (qv, cxe, cye, cze, *sphere_attr_rows(j))
+
+        def tri_candidate(j):
+            """Independent candidate for triangle j (see one_triangle for the
+            geometry); barycentric-invalid and padding columns poison qv to
+            +BIG so the merge tree needs no extra masks."""
+            tnx = tri_ref[_TNX, j]
+            tny = tri_ref[_TNY, j]
+            tnz = tri_ref[_TNZ, j]
+            ndd = dx * tnx + dy * tny + dz * tnz
+            ndo = ox * tnx + oy * tny + oz * tnz
+            tt = (tri_ref[_TNV0, j] - ndo) / ndd
+            qv = tt * a
+            g1x, g1y, g1z = (tri_ref[_TG1X, j], tri_ref[_TG1Y, j],
+                             tri_ref[_TG1Z, j])
+            g2x, g2y, g2z = (tri_ref[_TG2X, j], tri_ref[_TG2Y, j],
+                             tri_ref[_TG2Z, j])
+            u = (g1x * ox + g1y * oy + g1z * oz
+                 + tt * (g1x * dx + g1y * dy + g1z * dz) - tri_ref[_TG1V, j])
+            v = (g2x * ox + g2y * oy + g2z * oz
+                 + tt * (g2x * dx + g2y * dy + g2z * dz) - tri_ref[_TG2V, j])
+            ok = ((qv >= tmin_a) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+            qv = jnp.where(ok, qv, _BIG)
+            return (qv, tnx, tny, tnz, *tri_attr_rows(j))
+
+        def merge(c1, c2):
+            b = c2[0] < c1[0]
+            return tuple(jnp.where(b, f2, f1) for f1, f2 in zip(c1, c2))
+
+        def tree_group(cand_fn):
+            def group(g, h):
+                cands = [cand_fn(unroll * g + k) for k in range(unroll)]
+                while len(cands) > 1:
+                    nxt = [merge(cands[2 * k], cands[2 * k + 1])
+                           for k in range(len(cands) // 2)]
+                    if len(cands) % 2:
+                        nxt.append(cands[-1])
+                    cands = nxt
+                return merge(h, cands[0])
+            return group
+
+        def chain_group(one_fn):
+            def group(g, h):
+                for k in range(unroll):
+                    h = one_fn(unroll * g + k, h)
+                return h
+            return group
+
+        sph_group = (tree_group(sphere_candidate) if tree
+                     else chain_group(one_sphere))
+        tri_group = (tree_group(tri_candidate) if tree
+                     else chain_group(one_triangle))
+
         h = hit0
         if n_pad:
             if blk:
-                h = _culled_loop(h, n_pad, sblk_ref, one_sphere)
+                h = _culled_loop(h, n_pad, sblk_ref, sph_group)
             else:
-                def sphere_body(i, h):
-                    for k in range(unroll):
-                        h = one_sphere(unroll * i + k, h)
-                    return h
                 h = jax.lax.fori_loop(
-                    0, (n_pad + unroll - 1) // unroll, sphere_body, h)
+                    0, (n_pad + unroll - 1) // unroll, sph_group, h)
         if m_pad:
             if blk:
-                h = _culled_loop(h, m_pad, tblk_ref, one_triangle)
+                h = _culled_loop(h, m_pad, tblk_ref, tri_group)
             else:
-                def tri_body(i, h):
-                    for k in range(unroll):
-                        h = one_triangle(unroll * i + k, h)
-                    return h
                 h = jax.lax.fori_loop(
-                    0, (m_pad + unroll - 1) // unroll, tri_body, h)
+                    0, (m_pad + unroll - 1) // unroll, tri_group, h)
         qb, bcx, bcy, bcz = h[:4]
         bpk = h[4]
 
@@ -837,7 +915,8 @@ def _kernel(cam_ref, *args,
 
 def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
                  *, spp: int, max_depth: int, t_min: float, jitter: bool,
-                 tile_sublanes: int, unroll: int, interpret, blk: int = 0):
+                 tile_sublanes: int, unroll: int, interpret, blk: int = 0,
+                 tree: bool = True):
     """Trace ``n_local`` consecutive pixels starting at global index
     ``pix_offset``; returns flat [n_local, 3] radiance sums (divide by spp for
     the image). This is the unit a device shard executes under shard_map.
@@ -906,7 +985,8 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
         _kernel, width=w, height=h, n_pad=n_pad, m_pad=m_pad,
         spp=spp,
         max_depth=max_depth, t_min=t_min, jitter=jitter,
-        has_motion=scene.has_motion, rs=rs, unroll=unroll, gm=gm, blk=blk)
+        has_motion=scene.has_motion, rs=rs, unroll=unroll, gm=gm, blk=blk,
+        tree=tree)
 
     out_shape = jax.ShapeDtypeStruct((nsub, 128), jnp.float32)
     out_spec = pl.BlockSpec((rs, 128), lambda i: (i, 0),
@@ -942,17 +1022,17 @@ def _resolve_blk(scene: Scene, culling: Optional[bool],
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "t_min", "jitter", "tile_sublanes",
-                     "unroll", "interpret", "blk"),
+                     "unroll", "interpret", "blk", "tree"),
 )
 def _render_pallas_impl(scene: Scene, camera: Camera, seed, *, spp: int,
                         max_depth: int, t_min: float, jitter: bool,
                         tile_sublanes: int, unroll: int, interpret: bool,
-                        blk: int = 0):
+                        blk: int = 0, tree: bool = True):
     h, w = camera.height, camera.width
     flat = _trace_shard(
         scene, camera, seed, 0, h * w, spp=spp, max_depth=max_depth,
         t_min=t_min, jitter=jitter, tile_sublanes=tile_sublanes,
-        unroll=unroll, interpret=interpret, blk=blk)
+        unroll=unroll, interpret=interpret, blk=blk, tree=tree)
     return (flat.reshape(h, w, 3) / float(spp)).astype(camera.dtype)
 
 
@@ -960,7 +1040,8 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
                   tile_sublanes: int = 16, unroll: int = 8,
                   interpret: Optional[bool] = None,
                   culling: Optional[bool] = None,
-                  block_size: int = DEFAULT_BLOCK) -> jnp.ndarray:
+                  block_size: int = DEFAULT_BLOCK,
+                  tree: bool = True) -> jnp.ndarray:
     """Render via the fused Pallas megakernel; drop-in for
     :func:`rayz_tpu.ops.integrator.render` on supported scenes.
 
@@ -992,7 +1073,7 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
         scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
         t_min=config.t_min, jitter=config.jitter,
         tile_sublanes=tile_sublanes, unroll=unroll, interpret=interpret,
-        blk=blk)
+        blk=blk, tree=tree)
 
 
 @functools.partial(

@@ -116,11 +116,23 @@ def test_aabb_golden():
     o2 = jnp.asarray([[13.0, 2, 3]])
     d2 = jnp.asarray([[-9.6, -1.5, -2.3]])
     assert bool(aabb_hit(low2, high2, o2, d2, 0.0, 10.0)[0])
-    # hit.zig:239-247 "enclose bbox" equivalent: enclose = elementwise min/max
-    enc_low = jnp.minimum(jnp.asarray([-1.0, -1, -1]), jnp.asarray([0.0, 0, 0]))
-    enc_high = jnp.maximum(jnp.asarray([1.0, 1, 1]), jnp.asarray([2.0, 2, 2]))
+    # hit.zig:237-247 "enclose bbox": union of {(-1..1)} and {(0..2)}
+    from rayz_tpu.ops.intersect import aabb_enclose, aabb_longest_axis, sphere_aabb
+    enc_low, enc_high = aabb_enclose(
+        jnp.asarray([-1.0, -1, -1]), jnp.asarray([1.0, 1, 1]),
+        jnp.asarray([0.0, 0, 0]), jnp.asarray([2.0, 2, 2]))
     np.testing.assert_array_equal(np.asarray(enc_low), [-1, -1, -1])
     np.testing.assert_array_equal(np.asarray(enc_high), [2, 2, 2])
+    # longestAxis via amax (hit.zig:62-64)
+    assert int(aabb_longest_axis(jnp.asarray([0.0, 0, 0]),
+                                 jnp.asarray([1.0, 3, 2]))) == 1
+    # geom.zig:69-84 "sphere bbox": stationary r=1 at origin; moving by ones
+    lo, hi = sphere_aabb(jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.ones((1,)))
+    np.testing.assert_allclose(np.asarray(lo[0]), [-1, -1, -1])
+    np.testing.assert_allclose(np.asarray(hi[0]), [1, 1, 1])
+    lo, hi = sphere_aabb(jnp.zeros((1, 3)), jnp.ones((1, 3)), jnp.ones((1,)))
+    np.testing.assert_allclose(np.asarray(lo[0]), [-1, -1, -1])
+    np.testing.assert_allclose(np.asarray(hi[0]), [2, 2, 2])
 
 
 def test_triangle_hit():

@@ -266,6 +266,21 @@ def test_full_table_decode_deep_parity():
     assert img_x.std() > 0.05
 
 
+def test_tree_merge_parity():
+    """Tournament-tree nearest-hit merge must be bit-identical to the select
+    chain (strict-less merge preserves first-wins tie semantics on distinct
+    q values; NaN roots are poisoned to +BIG before any compare)."""
+    scene, camera = rt.scenes.random_bouncing(width=48)
+    config = rt.RenderConfig(spp=1, max_depth=4, t_min=1e-3, jitter=False)
+    img_chain = np.asarray(render_pallas(scene, camera, 0, config,
+                                         tile_sublanes=8, interpret=True,
+                                         tree=False))
+    img_tree = np.asarray(render_pallas(scene, camera, 0, config,
+                                        tile_sublanes=8, interpret=True,
+                                        tree=True))
+    np.testing.assert_array_equal(img_tree, img_chain)
+
+
 def test_culling_parity_spheres():
     """Block culling (Morton sort + per-block bounding-sphere skip) must be
     invisible in the output: forced-on vs forced-off renders of the ~500
