@@ -162,5 +162,15 @@ def scatter(key, scene: Scene, direction, time, hit: HitRecord):
     )
     ones = jnp.ones((*shape, 3), dtype=dt)
     attenuation = jnp.where(is_diel[..., None], ones, albedo)
+    # Degenerate scatter guard (same as the Pallas engines): a zero scatter
+    # direction — e.g. a unit-ball radius draw of exactly 0 (probability
+    # 2^-23 per draw under jax.random.uniform's fixed-point grid) whose
+    # offset is then absorbed by f32 rounding of target = point + offset at
+    # large |point| — would miss everything next bounce and send 0/0 through
+    # sky_color. The reference's near-zero guard is on the target POINT
+    # (material.zig:85-86) and never fires at large coordinates; treat the
+    # degenerate direction as absorbed instead (black, measure-zero event).
+    nd2 = vec.norm2(new_dir)
     scattered = jnp.where(is_metal, metal_ok, jnp.ones(shape, dtype=bool))
+    scattered = scattered & (nd2 > 1e-20)
     return new_dir, attenuation, scattered

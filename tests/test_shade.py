@@ -194,3 +194,36 @@ def test_dielectric_straight_through_and_tir():
     # and it is the exact mirror reflection of the (non-unit-safe) formula
     refl = np.asarray(d - 2.0 * vec.dot(d, rec.normal)[..., None] * rec.normal)
     np.testing.assert_allclose(np.asarray(new_d), refl, atol=1e-12)
+
+
+def test_degenerate_scatter_absorbed(monkeypatch):
+    """A zero scatter direction must be treated as absorbed, not traced.
+
+    jax.random.uniform's fixed-point grid returns exactly 0 with probability
+    2^-23, making the unit-ball radius draw zero; at large coordinates
+    (cornell_box scale) target = point + offset then rounds back to point in
+    f32 and the diffuse direction is exactly (0,0,0). Untraced, the next
+    bounce misses everything and sky_color normalizes a zero vector -> NaN
+    pixels (observed on real TPU at 128x128x256spp before the guard). Force
+    the degenerate draw and require finite (black) output through the full
+    integrator. The Pallas engines carry the same guard in-kernel."""
+    from rayz_tpu.ops import integrator, shade
+
+    monkeypatch.setattr(
+        shade.sampling, "random_in_hemisphere",
+        lambda key, shape, dtype, normal: jnp.zeros((*shape, 3), dtype))
+
+    b = SceneBuilder()
+    wall = b.add_diffuse(color=(0.7, 0.7, 0.7))
+    b.add_sphere((555.0, 555.0, 555.0), 100.0, wall)
+    scene = b.build()
+    # rays that hit the wall sphere head-on from cornell-scale coordinates
+    o = jnp.tile(jnp.asarray([[278.0, 278.0, -800.0]], jnp.float32), (4, 1))
+    d = vec.normalize(jnp.asarray([[555.0, 555.0, 555.0]], jnp.float32) - o)
+    tmz = jnp.zeros(4, dtype=jnp.float32)
+    rad = integrator.trace_rays(scene, o, d, tmz, jax.random.PRNGKey(0),
+                                max_depth=4, t_min=1e-3)
+    rad = np.asarray(rad)
+    assert np.isfinite(rad).all()
+    # the forced-degenerate diffuse bounce absorbs: contributes black
+    np.testing.assert_allclose(rad, 0.0, atol=1e-12)
