@@ -15,7 +15,7 @@ from .models import (
     make_camera,
 )
 from .models import scenes
-from .ops import (RenderConfig, render, render_diff, render_fast, render_jit,
+from .ops import (RenderConfig, render, render_diff, render_diff_pp, render_fast, render_jit,
                   render_pallas, render_pallas_sharded, trace_rays)
 from .io import read_ppm, to_u8, write_png, write_ppm
 
@@ -33,6 +33,7 @@ __all__ = [
     "render_jit",
     "render_fast",
     "render_diff",
+    "render_diff_pp",
     "render_pallas",
     "render_pallas_sharded",
     "trace_rays",

@@ -43,7 +43,9 @@ except ImportError:  # pragma: no cover
 
 from ..models.camera import Camera
 from ..models.scene import Scene
-from ..ops.diffkernel import default_interpret, render_diff, render_diff_flat
+from ..ops.diffkernel import (default_interpret, fits_smem_record,
+                              render_diff, render_diff_flat)
+from ..ops.pathrec import render_diff_pp, render_diff_pp_flat
 from ..ops.integrator import RenderConfig, render, _pixel_grid
 from ..parallel.mesh import _render_shard
 
@@ -85,12 +87,20 @@ def pixel_loss(params, scene: Scene, camera: Camera, key, target,
     """Mean squared pixel error of a fresh stochastic render vs target.
 
     ``engine``: "dense" differentiates through the full scan integrator
-    (any scene; O(R*N) backward); "recorded" uses the Pallas record +
-    O(R) XLA replay estimator (:func:`rayz_tpu.ops.render_diff`) — the
-    fast path for sphere and/or triangle scenes at benchmark sizes.
+    (any scene; O(R*N) backward); "recorded" uses the bounce-indexed Pallas
+    record + O(R) XLA replay estimator (:func:`rayz_tpu.ops.render_diff`);
+    "recorded-pp" uses the persistent-path recorder
+    (:func:`rayz_tpu.ops.render_diff_pp`) — the fastest backward, with the
+    static iteration budget documented in :mod:`rayz_tpu.ops.pathrec`. A
+    recorded request on a scene whose tables exceed the record kernel's
+    SMEM budget (~13k primitives) degrades to "dense" — the same dispatch
+    discipline as ``pick_engine("auto")`` (engine.py:25-34) — rather than
+    failing inside Mosaic.
     """
     fitted = inject_params(scene, params)
-    if engine == "recorded":
+    if engine == "recorded-pp" and fits_smem_record(scene):
+        img = render_diff_pp(fitted, camera, key, config)
+    elif engine == "recorded" and fits_smem_record(scene):
         img = render_diff(fitted, camera, key, config)
     else:
         img = render(fitted, camera, key, config)
@@ -109,7 +119,7 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
     shard (the fast distributed backward); per-device RNG streams come from
     folding the step key with the device index.
     """
-    if engine not in ("dense", "recorded"):
+    if engine not in ("dense", "recorded", "recorded-pp"):
         raise ValueError(f"unknown engine {engine!r}")
     if mesh is None:
 
@@ -125,13 +135,21 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
         return step
 
     axis = mesh.axis_names[0]
-    recorded = engine == "recorded"
+    recorded = engine in ("recorded", "recorded-pp")
     interp = default_interpret()
 
     def _loss_grad_shard(params, scene, camera, key, px, py, tgt, weight):
         def local_loss(p):
             fitted = inject_params(scene, p)
-            if recorded:
+            if engine == "recorded-pp" and fits_smem_record(scene):
+                dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
+                from jax.experimental.pallas import tpu as pltpu
+                kint = pltpu.InterpretParams() if interp else False
+                img = render_diff_pp_flat(
+                    fitted, camera, dkey, px, py, spp=config.spp,
+                    max_depth=config.max_depth, t_min=config.t_min,
+                    jitter=config.jitter, interpret=kint)
+            elif engine == "recorded" and fits_smem_record(scene):
                 dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
                 img = render_diff_flat(
                     fitted, camera, dkey, px, py, spp=config.spp,

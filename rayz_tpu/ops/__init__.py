@@ -4,6 +4,8 @@ from .shade import scatter, schlick_reflectance, sky_color, texture_value
 from .megakernel import (render_pallas, render_pallas_sharded, scene_tables,
                          supports_scene)
 from .diffkernel import record_paths, render_diff, replay_paths, supports_diff
+from .pathrec import (default_iters, gather_rows, record_pp, render_diff_pp,
+                      render_diff_pp_flat, replay_pp, supports_pp)
 from .engine import pick_engine, render_fast
 
 __all__ = [
@@ -13,6 +15,13 @@ __all__ = [
     "render_pallas",
     "render_pallas_sharded",
     "render_diff",
+    "render_diff_pp",
+    "render_diff_pp_flat",
+    "record_pp",
+    "replay_pp",
+    "gather_rows",
+    "default_iters",
+    "supports_pp",
     "supports_diff",
     "record_paths",
     "replay_paths",

@@ -81,12 +81,15 @@ from .megakernel import (
     _TG2V,
     _TPKF,
     _TIOS,
+    _NROWS,
+    _TNROWS,
     is_prng_key,
     scene_tables,
     tri_tables,
 )
 __all__ = ["render_diff", "render_diff_flat", "supports_diff",
-           "record_paths", "replay_paths", "default_interpret"]
+           "fits_smem_record", "record_paths", "replay_paths",
+           "default_interpret"]
 
 
 def supports_diff(scene: Scene) -> bool:
@@ -95,6 +98,20 @@ def supports_diff(scene: Scene) -> bool:
     vertices (the winner index is recorded across both primitive classes; the
     replay's plane-distance/normal are smooth in v0/v1/v2)."""
     return scene.n_spheres > 0 or scene.n_triangles > 0
+
+
+def fits_smem_record(scene: Scene) -> bool:
+    """Whether the record kernel's SMEM tables (full-table sphere + triangle
+    rows, no gm/culling variants) fit the shared ``SMEM_BUDGET``. Mirrors
+    :func:`rayz_tpu.ops.megakernel.fits_smem`'s dispatch discipline for the
+    recorded engine (engine.py:25-34): callers check this BEFORE launching so
+    an oversized scene degrades to the dense differentiable path instead of
+    dying in Mosaic."""
+    from .megakernel import SMEM_BUDGET
+
+    n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
+    m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
+    return 4 * (_NROWS * n_pad + _TNROWS * m_pad) <= SMEM_BUDGET
 
 
 # --------------------------------------------------------------------------
@@ -370,6 +387,16 @@ def record_paths(scene: Scene, origin, direction, time, rand, *,
     r_total = origin.shape[0]
     nsub = r_total // 128
     assert nsub * 128 == r_total and nsub % rs == 0, "caller must pad R"
+    if not fits_smem_record(scene):
+        n_pad_ = int(scene.sphere_radius.shape[0]) if scene.n_spheres else 0
+        m_pad_ = int(scene.tri_material.shape[0]) if scene.n_triangles else 0
+        raise ValueError(
+            f"record kernel scene tables need "
+            f"{4 * (_NROWS * n_pad_ + _TNROWS * m_pad_)} bytes of SMEM "
+            f"(> budget: {n_pad_} padded spheres + {m_pad_} padded "
+            "triangles). Use the dense differentiable path "
+            "(pixel_loss(engine='dense') / rayz_tpu.render) for scenes this "
+            "large.")
     n_tiles = nsub // rs
     # The kernel always runs f32 (the discrete winner indices it produces are
     # dtype-insensitive); f64 scenes cast at this non-differentiable boundary.
@@ -518,7 +545,11 @@ def replay_paths(scene: Scene, origin, direction, time, rand, idx, *,
         # the [P, 20] table rides the MXU and its backward (scatter-add of
         # row cotangents into the table) is the transposed matmul — also MXU.
         oh = jax.nn.one_hot(i, tab.shape[0], dtype=tab.dtype)
-        row = oh @ tab  # [R, 20]
+        # HIGHEST precision: the TPU MXU's default rounds the table to bf16
+        # inside the matmul, silently degrading every replayed hit distance
+        # and gradient (found via pathrec parity, round 3).
+        row = jnp.matmul(oh, tab,
+                         precision=jax.lax.Precision.HIGHEST)  # [R, 20]
         a = jnp.sum(d * d, axis=-1)
 
         # ---- sphere interpretation of the row (cols 0:7) ----

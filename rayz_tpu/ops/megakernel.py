@@ -112,6 +112,15 @@ _TGNROWS = 16
 _BIG = 3.0e38  # stand-in for +inf (t on miss)
 _TWO_PI = 2.0 * math.pi
 
+#: Single SMEM budget shared by the dispatch check (:func:`fits_smem`) and the
+#: launch-time guard in ``_trace_shard`` — v5e SMEM is 1 MiB; leave headroom.
+SMEM_BUDGET = 900_000
+
+#: Auto-enable block culling at or above this many primitives (per class
+#: total): below it the bound tests cost more than the skipped work saves.
+CULLING_AUTO_THRESHOLD = 2048
+DEFAULT_BLOCK = 64
+
 
 def supports_scene(scene: Scene) -> bool:
     """Static (shape-level) eligibility: any non-empty sphere/triangle scene.
@@ -122,20 +131,38 @@ def supports_scene(scene: Scene) -> bool:
     return scene.n_spheres > 0 or scene.n_triangles > 0
 
 
-def fits_smem(scene: Scene) -> bool:
-    """Whether the scene's flattened tables fit the kernel's SMEM budget
-    (v5e SMEM is 1 MiB; the whole scene rides there). ~16k primitives in gm
-    mode, ~13k in full-table mode; beyond that ``pick_engine('auto')`` falls
-    back to the XLA integrator."""
+def _smem_words(scene: Scene, blk: int) -> int:
+    """EXACT f32-word count of the SMEM inputs ``_trace_shard`` builds for
+    this scene with culling block size ``blk`` (0 = culling off): camera
+    vector (18, +8 gm globals), seed pair, the per-class tables (padded to a
+    block multiple when culling), and the per-block bound rows. Keeping this
+    in lockstep with ``_trace_shard``'s input list is what makes
+    ``fits_smem``'s promise exact — a scene that passes can never hit the
+    launch-time guard."""
     gm = use_global_materials(scene)
     n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
     m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
+    if blk:
+        n_pad = _round_up(n_pad, blk) if n_pad else 0
+        m_pad = _round_up(m_pad, blk) if m_pad else 0
     rows_s = _GNROWS if gm else _NROWS
     rows_t = _TGNROWS if gm else _TNROWS
-    # + per-block culling rows (4 per 64 primitives) + camera/seed slack
-    est = 4 * (rows_s * n_pad + rows_t * m_pad
-               + 4 * ((n_pad + m_pad) // 64 + 2) + 32)
-    return est <= 880_000
+    words = 18 + (8 if gm else 0) + 2 + rows_s * n_pad + rows_t * m_pad
+    if blk:
+        words += 4 * (n_pad // blk) + 4 * (m_pad // blk)
+    return words
+
+
+def fits_smem(scene: Scene, culling: Optional[bool] = None,
+              block_size: int = DEFAULT_BLOCK) -> bool:
+    """Whether the scene's flattened tables fit the kernel's SMEM budget
+    (v5e SMEM is 1 MiB; the whole scene rides there). ~16k primitives in gm
+    mode, ~13k in full-table mode; beyond that ``pick_engine('auto')`` falls
+    back to the XLA integrator. Uses the same byte accounting and the same
+    ``SMEM_BUDGET`` as the launch-time guard in ``_trace_shard``, evaluated
+    at the culling configuration the default render path would pick."""
+    blk = _resolve_blk(scene, culling, block_size)
+    return 4 * _smem_words(scene, blk) <= SMEM_BUDGET
 
 
 def _material_rows(scene: Scene, mat: jnp.ndarray):
@@ -974,7 +1001,7 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
     inputs.append(seed_arr)
 
     smem_bytes = sum(4 * int(jnp.size(x)) for x in inputs)
-    if smem_bytes > 900_000:  # v5e SMEM is 1 MiB; leave headroom
+    if smem_bytes > SMEM_BUDGET:
         raise ValueError(
             f"scene tables need {smem_bytes} bytes of SMEM (> ~900KB budget: "
             f"{n_pad} padded spheres + {m_pad} padded triangles). The "
@@ -1002,12 +1029,6 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
 
     flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     return flat[:n_local]
-
-
-#: Auto-enable block culling at or above this many primitives (per class
-#: total): below it the bound tests cost more than the skipped work saves.
-CULLING_AUTO_THRESHOLD = 2048
-DEFAULT_BLOCK = 64
 
 
 def _resolve_blk(scene: Scene, culling: Optional[bool],

@@ -1,0 +1,914 @@
+"""Persistent-path record/replay: the fast differentiable renderer.
+
+Second-generation record/replay estimator (:mod:`rayz_tpu.ops.diffkernel` is
+the first). The round-2 profile showed the bounce-indexed record kernel
+spending ~5x the forward megakernel's time per sample: with the bounce as a
+grid dimension and no respawn, a tile keeps sweeping the whole primitive
+table until its LAST ray dies (~12 sweeps/sample on the flagship scene vs the
+megakernel's ~2.15), and the replay scans spp x depth bounce steps even
+though most are idle.
+
+This module restores the megakernel's occupancy economics (persistent-ray
+respawn, megakernel.py design notes) while keeping the record/replay split
+that makes the backward O(rays) instead of O(rays x primitives):
+
+* **Record** (Pallas, non-differentiable): a persistent-ray kernel over a
+  grid of (tiles, K iterations). Every lane owns one pixel; when its path
+  dies it immediately respawns the next camera sample — so the primitive
+  sweep runs at near-full occupancy and the executed iteration count is
+  ~spp x mean-path-length, not spp x depth. All randomness comes from the
+  in-kernel TPU PRNG (no host raygen, no HBM random block round-trip). Per
+  iteration it writes the winning primitive index and an aux plane: the
+  scatter randoms actually consumed, the spawned camera ray, and explicit
+  spawn/continue FLAGS — the replay reads control decisions instead of
+  re-deriving them, so a float-level record/replay disagreement cannot
+  desynchronize the sample schedule (the round-2 caveat in diffkernel.py).
+* **Replay** (XLA, differentiable): one scan over K iterations (vs
+  spp x depth). Each step gathers the winner's raw-parameter row (one-hot
+  matmul on the MXU, diffkernel.py one-hot note), re-derives hit distance /
+  normal / scatter / attenuation with the recorded randoms, and accumulates
+  radiance per slot. Control (spawn/continue/hit) comes from the recording;
+  values are recomputed smoothly, so gradients flow to sphere centers/
+  radii/velocities, triangle vertices, texture colors, fuzz, and IOR —
+  the same surface as diffkernel.replay_paths.
+
+Iteration budget (the one estimator caveat)
+-------------------------------------------
+K is static. A slot that has not finished its spp samples within K
+iterations truncates its remaining work: an in-flight path contributes the
+radiance accumulated so far (as if absorbed — the reference's own
+depth-exhausted semantics, renderer.zig:104-105, at an earlier effective
+depth) and unspawned samples contribute black. The kernel reports the number
+of unfinished samples per slot (``leftover``); with the default budget
+(``default_iters``) leftover is zero on every benchmark scene (asserted in
+tests and in bench.py), and callers needing a hard guarantee can pass
+``iters = spp * max_depth``. This is the TPU-native price of recording a
+respawning schedule with static shapes; the bounce-indexed estimator
+(diffkernel.py) remains available and budget-free.
+
+Matches /root/reference/src/renderer.zig:72-126 (the loop being
+differentiated) like the rest of the renderer stack.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.camera import Camera
+from ..models.scene import (
+    DIFFUSE_UNIT_SPHERE,
+    DIFFUSE_UNIT_SPHERE_SURFACE,
+    MAT_DIELECTRIC,
+    MAT_METALLIC,
+    Scene,
+)
+from .integrator import RenderConfig, _pixel_grid
+from .diffkernel import _diff_tables, fits_smem_record, supports_diff
+from .megakernel import (
+    _BIG,
+    _CCMR2,
+    _CV2,
+    _CX,
+    _CY,
+    _CZ,
+    _IOS,
+    _PKF,
+    _TG1V,
+    _TG1X,
+    _TG1Y,
+    _TG1Z,
+    _TG2V,
+    _TG2X,
+    _TG2Y,
+    _TG2Z,
+    _TIOS,
+    _TNV0,
+    _TNX,
+    _TNY,
+    _TNZ,
+    _TPKF,
+    _TWO_PI,
+    _VV,
+    _VX,
+    _VY,
+    _VZ,
+    _camera_vector,
+    is_prng_key,
+    scene_tables,
+    tri_tables,
+)
+
+__all__ = ["render_diff_pp", "render_diff_pp_flat", "record_pp", "replay_pp",
+           "default_iters", "supports_pp"]
+
+# aux plane rows (per iteration, per slot)
+_AUX_UX, _AUX_UY, _AUX_UZ, _AUX_CB, _AUX_US = 0, 1, 2, 3, 4  # scatter randoms
+_AUX_OX, _AUX_OY, _AUX_OZ = 5, 6, 7                          # spawn origin
+_AUX_DX, _AUX_DY, _AUX_DZ = 8, 9, 10                         # spawn direction
+_AUX_TAU = 11                                                # spawn time
+_AUX_FLG = 12                                                # spawn + 2*cont
+_AUX_ROWS = 13
+
+
+def supports_pp(scene: Scene) -> bool:
+    """Same scene coverage as the bounce-indexed recorder, gated on the same
+    SMEM budget (the kernel keeps the full-table scene SoA in SMEM)."""
+    return supports_diff(scene) and fits_smem_record(scene)
+
+
+def default_iters(spp: int, max_depth: int = 32) -> int:
+    """Default iteration budget: 4x the sample count plus 4 full-depth paths
+    of headroom for the straggler tail, capped at the exhaustive
+    spp*max_depth bound (which makes spp=1 always exact). Measured on the
+    flagship scene (spp 8, depth 32 -> 160): leftover == 0; the tail curve
+    is 64 -> 10369, 96 -> 412, 128 -> 17, 160 -> 0 truncated samples of
+    2.1M (glass-interior pixels run ~19 bounces/sample)."""
+    return min(spp * max_depth, 4 * spp + 4 * max_depth)
+
+
+def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
+                      spp: int, max_depth: int, t_min: float, jitter: bool,
+                      has_motion: bool, rs: int, unroll: int, iters: int):
+    """One grid step = one iteration of one tile of rs*128 persistent slots.
+
+    Grid = (tiles, iters), iteration innermost so the VMEM scratch carries
+    ray state across iterations of a tile. Positional refs: cam [18] SMEM,
+    seed [2] SMEM (seed, slot offset), the sphere table iff n_pad, the
+    triangle table iff m_pad, px/py [nsub,128] VMEM pixel coordinates, then
+    outputs idx [1, rs, 128] i32, aux [1, _AUX_ROWS, rs, 128] f32,
+    leftover [rs, 128] i32 (written on the last iteration), and scratch
+    st [7, rs, 128] f32 (o,d,tau), cnt [3, rs, 128] i32 (depth, samples,
+    active).
+    """
+    refs = list(args)
+    cam_ref = refs.pop(0)
+    seed_ref = refs.pop(0)
+    tab_ref = refs.pop(0) if n_pad else None
+    tri_ref = refs.pop(0) if m_pad else None
+    px_ref, py_ref, idx_ref, aux_ref, left_ref, st_ref, cnt_ref = refs
+    f32 = jnp.float32
+    i32 = jnp.int32
+    shape = (rs, 128)
+    tile = pl.program_id(0)
+    it = pl.program_id(1)
+    # Re-seeded every grid step (unlike the megakernel, whose while_loop
+    # keeps one stream per tile): the iteration index MUST be part of the
+    # seed or every iteration would replay the identical random sequence.
+    # Mosaic caps prng_seed at 2 values, so fold (tile, it) into one.
+    pltpu.prng_seed(seed_ref[0], tile * iters + it)
+
+    def uniform():
+        bits = pltpu.prng_random_bits(shape)
+        return (bits & 0x7FFFFF).astype(f32) * (2.0 ** -23)
+
+    def unit3():
+        # cylinder-map uniform direction (megakernel.py unit3)
+        z = 2.0 * uniform() - 1.0
+        phi = _TWO_PI * uniform()
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-24))
+        return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+    sub = jax.lax.broadcasted_iota(i32, shape, 0)
+    lane = jax.lax.broadcasted_iota(i32, shape, 1)
+    slot = seed_ref[1] + (tile * rs + sub) * 128 + lane
+    valid = slot < n_local
+
+    @pl.when(it == 0)
+    def _init():
+        cnt_ref[0] = jnp.zeros(shape, i32)                       # depth left
+        cnt_ref[1] = jnp.where(valid, spp, 0).astype(i32)        # samples
+        cnt_ref[2] = jnp.zeros(shape, i32)                       # active
+        st_ref[...] = jnp.zeros((7, rs, 128), f32)
+
+    depth = cnt_ref[0]
+    samples = cnt_ref[1]
+    active = cnt_ref[2] > 0
+    any_work = jnp.any(active | (samples > 0))
+
+    @pl.when(jnp.logical_not(any_work))
+    def _idle():
+        idx_ref[0] = jnp.full(shape, -2, i32)
+        aux_ref[0] = jnp.zeros((_AUX_ROWS, rs, 128), f32)
+
+    @pl.when(any_work)
+    def _work():
+        nonlocal depth, samples, active
+        ox, oy, oz = st_ref[0], st_ref[1], st_ref[2]
+        dx, dy, dz = st_ref[3], st_ref[4], st_ref[5]
+        tau = st_ref[6]
+        zf = jnp.zeros(shape, f32)
+
+        cam = [cam_ref[i] for i in range(18)]
+        (lfx, lfy, lfz, dux, duy, duz, dvx, dvy, dvz,
+         pox, poy, poz, deux, deuy, deuz, devx, devy, devz) = cam
+
+        # ---- respawn dead slots (Camera.getRay, camera.zig:59-77) ----
+        spawn = (~active) & (samples > 0)
+        pxf = px_ref[...]
+        pyf = py_ref[...]
+        if jitter:
+            x = pxf + uniform() - 0.5
+            y = pyf + uniform() - 0.5
+            rr = jnp.sqrt(uniform())
+            th = _TWO_PI * uniform()
+            ca, sa = jnp.cos(th), jnp.sin(th)
+            nox = lfx + rr * (ca * deux + sa * devx)
+            noy = lfy + rr * (ca * deuy + sa * devy)
+            noz = lfz + rr * (ca * deuz + sa * devz)
+            ntau = uniform()
+        else:
+            x, y = pxf, pyf
+            nox = jnp.broadcast_to(lfx, shape)
+            noy = jnp.broadcast_to(lfy, shape)
+            noz = jnp.broadcast_to(lfz, shape)
+            ntau = zf
+        ndx = x * dux + y * dvx + pox - nox
+        ndy = x * duy + y * dvy + poy - noy
+        ndz = x * duz + y * dvz + poz - noz
+
+        ox = jnp.where(spawn, nox, ox)
+        oy = jnp.where(spawn, noy, oy)
+        oz = jnp.where(spawn, noz, oz)
+        dx = jnp.where(spawn, ndx, dx)
+        dy = jnp.where(spawn, ndy, dy)
+        dz = jnp.where(spawn, ndz, dz)
+        tau = jnp.where(spawn, ntau, tau)
+        depth = jnp.where(spawn, max_depth, depth)
+        samples = samples - spawn.astype(i32)
+        active = active | spawn
+        spf = spawn.astype(f32)
+
+        aux_ref[0, _AUX_OX] = jnp.where(spawn, ox, 0.0)
+        aux_ref[0, _AUX_OY] = jnp.where(spawn, oy, 0.0)
+        aux_ref[0, _AUX_OZ] = jnp.where(spawn, oz, 0.0)
+        aux_ref[0, _AUX_DX] = jnp.where(spawn, dx, 0.0)
+        aux_ref[0, _AUX_DY] = jnp.where(spawn, dy, 0.0)
+        aux_ref[0, _AUX_DZ] = jnp.where(spawn, dz, 0.0)
+        aux_ref[0, _AUX_TAU] = jnp.where(spawn, tau, 0.0)
+
+        # ---- nearest-hit sweep (megakernel one_sphere/one_triangle in
+        # record form: carry q_best, winner center-or-normal, packed
+        # material, ior, index) ----
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        d_dot_o = dx * ox + dy * oy + dz * oz
+        o2 = ox * ox + oy * oy + oz * oz
+        tmin_a = t_min * a
+        if has_motion:
+            tau2 = tau * tau
+
+        def sphere_candidate(j):
+            cx = tab_ref[_CX, j]
+            cy = tab_ref[_CY, j]
+            cz = tab_ref[_CZ, j]
+            ccmr2 = tab_ref[_CCMR2, j]
+            if has_motion:
+                cxe = cx + tau * tab_ref[_VX, j]
+                cye = cy + tau * tab_ref[_VY, j]
+                cze = cz + tau * tab_ref[_VZ, j]
+                ccmr2 = ccmr2 + tab_ref[_CV2, j] * tau + tab_ref[_VV, j] * tau2
+            else:
+                cxe, cye, cze = cx, cy, cz
+            half_b = dx * cxe + dy * cye + dz * cze - d_dot_o
+            o_dot_c = ox * cxe + oy * cye + oz * cze
+            c_term = ccmr2 - 2.0 * o_dot_c + o2
+            disc = half_b * half_b - a * c_term
+            rt = jnp.sqrt(disc)  # NaN on miss -> compares false
+            q1 = half_b - rt
+            q2 = half_b + rt
+            qv = jnp.where(q1 >= tmin_a, q1, q2)
+            qv = jnp.where(qv >= tmin_a, qv, _BIG)
+            return (qv, cxe, cye, cze, tab_ref[_PKF, j], tab_ref[_IOS, j], j)
+
+        def tri_candidate(j):
+            tnx = tri_ref[_TNX, j]
+            tny = tri_ref[_TNY, j]
+            tnz = tri_ref[_TNZ, j]
+            ndd = dx * tnx + dy * tny + dz * tnz
+            ndo = ox * tnx + oy * tny + oz * tnz
+            tt = (tri_ref[_TNV0, j] - ndo) / ndd
+            qv = tt * a
+            g1x, g1y, g1z = (tri_ref[_TG1X, j], tri_ref[_TG1Y, j],
+                             tri_ref[_TG1Z, j])
+            g2x, g2y, g2z = (tri_ref[_TG2X, j], tri_ref[_TG2Y, j],
+                             tri_ref[_TG2Z, j])
+            u = (g1x * ox + g1y * oy + g1z * oz
+                 + tt * (g1x * dx + g1y * dy + g1z * dz) - tri_ref[_TG1V, j])
+            v = (g2x * ox + g2y * oy + g2z * oz
+                 + tt * (g2x * dx + g2y * dy + g2z * dz) - tri_ref[_TG2V, j])
+            ok = ((qv >= tmin_a) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+            qv = jnp.where(ok, qv, _BIG)
+            return (qv, tnx, tny, tnz, tri_ref[_TPKF, j], tri_ref[_TIOS, j],
+                    n_pad + j)
+
+        def merge(c1, c2):
+            b = c2[0] < c1[0]
+            return tuple(jnp.where(b, f2, f1) for f1, f2 in zip(c1, c2))
+
+        def tree_group(cand_fn):
+            def group(g, h):
+                cands = [cand_fn(unroll * g + k) for k in range(unroll)]
+                while len(cands) > 1:
+                    nxt = [merge(cands[2 * k], cands[2 * k + 1])
+                           for k in range(len(cands) // 2)]
+                    if len(cands) % 2:
+                        nxt.append(cands[-1])
+                    cands = nxt
+                return merge(h, cands[0])
+            return group
+
+        hit0 = (jnp.full(shape, _BIG, f32), zf, zf, zf, zf, zf,
+                jnp.full(shape, -1, i32))
+        h = hit0
+        if n_pad:
+            h = jax.lax.fori_loop(0, (n_pad + unroll - 1) // unroll,
+                                  tree_group(sphere_candidate), h)
+        if m_pad:
+            h = jax.lax.fori_loop(0, (m_pad + unroll - 1) // unroll,
+                                  tree_group(tri_candidate), h)
+        qb, bcx, bcy, bcz, bpk, bios, bj = h
+
+        hit = qb < _BIG
+        ts = jnp.where(hit, qb * inv_a, 1.0)
+        bkm = jnp.floor(bpk * 0.25)
+        bfz = (bpk - 4.0 * bkm) * 0.5
+        px_ = ox + ts * dx
+        py_ = oy + ts * dy
+        pz_ = oz + ts * dz
+
+        if m_pad and n_pad:
+            is_tri = bj >= n_pad
+            nx = jnp.where(is_tri, bcx, px_ - bcx)
+            ny = jnp.where(is_tri, bcy, py_ - bcy)
+            nz = jnp.where(is_tri, bcz, pz_ - bcz)
+        elif m_pad:
+            nx, ny, nz = bcx, bcy, bcz
+        else:
+            nx = px_ - bcx
+            ny = py_ - bcy
+            nz = pz_ - bcz
+        ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        ndd = nx * dx + ny * dy + nz * dz
+        front = ndd < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+        kind = jnp.floor(bkm * 0.25)
+        method = bkm - 4.0 * kind
+
+        # ---- scatter randoms (recorded for the replay) ----
+        ux, uy, uz = unit3()
+        cb = jnp.exp(jnp.log(jnp.maximum(uniform(), 1e-24)) * (1.0 / 3.0))
+        us = uniform()
+        aux_ref[0, _AUX_UX] = ux
+        aux_ref[0, _AUX_UY] = uy
+        aux_ref[0, _AUX_UZ] = uz
+        aux_ref[0, _AUX_CB] = cb
+        aux_ref[0, _AUX_US] = us
+
+        # ---- diffuse ----
+        sx, sy, sz = ux * cb, uy * cb, uz * cb
+        flip = jnp.where(sx * nx + sy * ny + sz * nz > 0.0, 1.0, -1.0)
+        m0 = method == 0.0
+        m1 = method == 1.0
+        offx = jnp.where(m0, nx + sx, jnp.where(m1, nx + ux, sx * flip))
+        offy = jnp.where(m0, ny + sy, jnp.where(m1, ny + uy, sy * flip))
+        offz = jnp.where(m0, nz + sz, jnp.where(m1, nz + uz, sz * flip))
+        tgx, tgy, tgz = px_ + offx, py_ + offy, pz_ + offz
+        nz_tgt = ((jnp.abs(tgx) <= 1e-8) & (jnp.abs(tgy) <= 1e-8)
+                  & (jnp.abs(tgz) <= 1e-8))
+        tgx = jnp.where(nz_tgt, nx, tgx)
+        tgy = jnp.where(nz_tgt, ny, tgy)
+        tgz = jnp.where(nz_tgt, nz, tgz)
+        difx, dify, difz = tgx - px_, tgy - py_, tgz - pz_
+
+        # ---- metallic ----
+        two_ndd = 2.0 * (dx * nx + dy * ny + dz * nz)
+        rfx = dx - two_ndd * nx
+        rfy = dy - two_ndd * ny
+        rfz = dz - two_ndd * nz
+        rinv = jax.lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz,
+                                         1e-24))
+        fz = jnp.minimum(bfz, 1.0)
+        mex = rfx * rinv + fz * ux
+        mey = rfy * rinv + fz * uy
+        mez = rfz * rinv + fz * uz
+        metal_ok = mex * nx + mey * ny + mez * nz > 0.0
+
+        # ---- dielectric ----
+        eta = jnp.where(front, 1.0 / bios, bios)
+        dinv = jax.lax.rsqrt(jnp.maximum(a, 1e-24))
+        udx, udy, udz = dx * dinv, dy * dinv, dz * dinv
+        cos_t = -(udx * nx + udy * ny + udz * nz)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        cannot = eta * sin_t > 1.0
+        r0 = (1.0 - eta) / (1.0 + eta)
+        r0 = r0 * r0
+        om = 1.0 - cos_t
+        om2 = om * om
+        refl_p = r0 + (1.0 - r0) * om2 * om2 * om
+        do_refl = cannot | (refl_p > us)
+        ppx = (udx + cos_t * nx) * eta
+        ppy = (udy + cos_t * ny) * eta
+        ppz = (udz + cos_t * nz) * eta
+        parm = -jnp.sqrt(jnp.maximum(
+            1.0 - (ppx * ppx + ppy * ppy + ppz * ppz), 0.0))
+        dlx = jnp.where(do_refl, rfx, ppx + parm * nx)
+        dly = jnp.where(do_refl, rfy, ppy + parm * ny)
+        dlz = jnp.where(do_refl, rfz, ppz + parm * nz)
+
+        is_m = kind == float(MAT_METALLIC)
+        is_d = kind == float(MAT_DIELECTRIC)
+        ndirx = jnp.where(is_d, dlx, jnp.where(is_m, mex, difx))
+        ndiry = jnp.where(is_d, dly, jnp.where(is_m, mey, dify))
+        ndirz = jnp.where(is_d, dlz, jnp.where(is_m, mez, difz))
+        nd2 = ndirx * ndirx + ndiry * ndiry + ndirz * ndirz
+        scattered = ((~is_m) | metal_ok) & (nd2 > 1e-20)
+
+        # ---- outputs: winner index (-1 active miss, -2 idle) + flags ----
+        idx_ref[0] = jnp.where(active, jnp.where(hit, bj, -1), -2)
+        cont = active & hit & scattered & (depth > 1)
+        aux_ref[0, _AUX_FLG] = spf + 2.0 * cont.astype(f32)
+
+        st_ref[0] = jnp.where(cont, px_, ox)
+        st_ref[1] = jnp.where(cont, py_, oy)
+        st_ref[2] = jnp.where(cont, pz_, oz)
+        st_ref[3] = jnp.where(cont, ndirx, dx)
+        st_ref[4] = jnp.where(cont, ndiry, dy)
+        st_ref[5] = jnp.where(cont, ndirz, dz)
+        st_ref[6] = tau
+        cnt_ref[0] = depth - cont.astype(i32)
+        cnt_ref[1] = samples
+        cnt_ref[2] = cont.astype(i32)
+
+    @pl.when(it == iters - 1)
+    def _leftover():
+        # unfinished work: samples never spawned + the in-flight path (if any)
+        left_ref[...] = cnt_ref[1] + cnt_ref[2]
+
+
+def record_pp(scene: Scene, camera: Camera, seed, px, py, n_local: int, *,
+              spp: int, max_depth: int, t_min: float, jitter: bool,
+              iters: int, tile_sublanes: int = 16, unroll: int = 8,
+              interpret=False):
+    """Run the persistent-path record kernel over ``n_local`` slots whose
+    pixel coordinates are ``px``/``py`` (flat [R_pad] f32, padded to
+    tile_sublanes*128). Returns (idx [iters, R_pad] i32, aux
+    [iters, _AUX_ROWS, R_pad] f32, leftover [R_pad] i32). Non-differentiable
+    by construction (tables pass through stop_gradient)."""
+    rs = tile_sublanes
+    r_pad = px.shape[0]
+    nsub = r_pad // 128
+    assert nsub * 128 == r_pad and nsub % rs == 0, "caller must pad R"
+    n_tiles = nsub // rs
+    if not fits_smem_record(scene):
+        raise ValueError(
+            "persistent-path record kernel: scene tables exceed the SMEM "
+            "budget; use the dense differentiable path for scenes this "
+            "large (see diffkernel.fits_smem_record)")
+
+    sg = lambda x: jax.lax.stop_gradient(x).astype(jnp.float32)
+    n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
+    m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
+    inputs = [sg(_camera_vector(camera)),
+              jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
+                         jnp.asarray(0, jnp.int32).reshape(())])]
+    if n_pad:
+        inputs.append(sg(scene_tables(scene)))
+    if m_pad:
+        inputs.append(sg(tri_tables(scene)))
+    inputs.append(sg(px).reshape(nsub, 128))
+    inputs.append(sg(py).reshape(nsub, 128))
+
+    kern = functools.partial(
+        _record_pp_kernel, n_pad=n_pad, m_pad=m_pad, n_local=n_local,
+        spp=spp, max_depth=max_depth, t_min=t_min, jitter=jitter,
+        has_motion=scene.has_motion, rs=rs, unroll=unroll, iters=iters)
+
+    n_tabs = (1 if n_pad else 0) + (1 if m_pad else 0)
+    pix_spec = pl.BlockSpec((rs, 128), lambda i, t: (i, 0),
+                            memory_space=pltpu.VMEM)
+    idx, aux, left = pl.pallas_call(
+        kern,
+        grid=(n_tiles, iters),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 + n_tabs)
+        + [pix_spec, pix_spec],
+        out_shape=(
+            jax.ShapeDtypeStruct((iters, nsub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((iters, _AUX_ROWS, nsub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nsub, 128), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, rs, 128), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _AUX_ROWS, rs, 128), lambda i, t: (t, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rs, 128), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((7, rs, 128), jnp.float32),
+            pltpu.VMEM((3, rs, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return (idx.reshape(iters, r_pad),
+            aux.reshape(iters, _AUX_ROWS, r_pad),
+            left.reshape(r_pad))
+
+
+def replay_pp(scene: Scene, idx, aux, *, t_min: float,
+              remat: bool = True, interpret=False) -> jnp.ndarray:
+    """Differentiably re-trace a persistent-path recording; returns the
+    per-slot radiance SUM over all samples [R, 3] (caller divides by spp).
+
+    Per-step ``jax.checkpoint`` (``remat=True``) keeps the backward's live
+    set to the scan carry: without it XLA saves each step's [R, P] one-hot
+    for the gather transpose (~34 GB at the flagship config — an OOM).
+
+    Control flow (spawn / hit / continue) is read from the recording — the
+    scan cannot desynchronize from the kernel — while every VALUE (hit
+    distance, normal, scatter direction, attenuation, sky) is re-derived
+    smoothly from the raw scene parameters, so ``jax.grad`` reaches the
+    full trainable surface with O(R) work per iteration. Formula-for-formula
+    this matches diffkernel.replay_paths (itself matching the megakernel and
+    material.zig / geom.zig / renderer.zig); the differences are the
+    respawn handling and the recorded flags.
+    """
+    dt = scene.sphere_center.dtype
+    tab = _diff_tables(scene)
+    n_sph_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
+    with_sph = scene.n_spheres > 0
+    with_tri = scene.n_triangles > 0
+    r = idx.shape[1]
+    aux = jax.lax.stop_gradient(aux).astype(dt)
+
+    def step(carry, xs):
+        o, d, tau, thr, out = carry
+        idx_t, aux_t = xs
+        flg = aux_t[_AUX_FLG]
+        spawn = (flg == 1.0) | (flg == 3.0)
+        cont = flg >= 2.0
+        sp3 = spawn[:, None]
+
+        o = jnp.where(sp3, aux_t[_AUX_OX:_AUX_OZ + 1].T, o)
+        d = jnp.where(sp3, aux_t[_AUX_DX:_AUX_DZ + 1].T, d)
+        tau = jnp.where(spawn, aux_t[_AUX_TAU], tau)
+        thr = jnp.where(sp3, jnp.ones_like(thr), thr)
+
+        active = idx_t >= -1
+        hit = idx_t >= 0
+        i = jnp.maximum(idx_t, 0)
+
+        # winner row via the Pallas MXU gather (one-hot built in VMEM —
+        # an XLA one-hot would write [R, P] to HBM three times per trained
+        # step; see gather_rows below)
+        row = gather_rows(tab, i, bool(interpret))
+        a = jnp.sum(d * d, axis=-1)
+
+        if with_sph:
+            c = row[:, 0:3]
+            if scene.has_motion:
+                c = c + tau[:, None] * row[:, 3:6]
+            rad = row[:, 6]
+            co = c - o
+            half_b = jnp.sum(d * co, axis=-1)
+            c_term = jnp.sum(co * co, axis=-1) - rad * rad
+            disc = half_b * half_b - a * c_term
+            pos = disc > 0.0
+            rt = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+            q1 = half_b - rt
+            q2 = half_b + rt
+            q = jnp.where(q1 >= t_min * a, q1, q2)
+            t_sph = q / a
+        if with_tri:
+            v0 = row[:, 0:3]
+            e1 = row[:, 3:6] - v0
+            e2 = row[:, 6:9] - v0
+            pn = jnp.cross(e1, e2)
+            ndd = jnp.sum(pn * d, axis=-1)
+            ndd_safe = jnp.where(jnp.abs(ndd) > 0.0, ndd, 1.0)
+            t_tri = jnp.sum(pn * (v0 - o), axis=-1) / ndd_safe
+
+        if with_sph and with_tri:
+            is_tri = i >= n_sph_pad
+            t_hit = jnp.where(is_tri, t_tri, t_sph)
+        elif with_tri:
+            t_hit = t_tri
+        else:
+            t_hit = t_sph
+        ts = jnp.where(hit, t_hit, 1.0)
+        p = o + ts[:, None] * d
+
+        if with_sph and with_tri:
+            nrm = jnp.where(is_tri[:, None], pn, p - c)
+        elif with_tri:
+            nrm = pn
+        else:
+            nrm = p - c
+        ninv = jax.lax.rsqrt(jnp.maximum(jnp.sum(nrm * nrm, axis=-1), 1e-24))
+        nrm = nrm * ninv[:, None]
+        front = jnp.sum(nrm * d, axis=-1) < 0.0
+        nrm = jnp.where(front[:, None], nrm, -nrm)
+
+        kind = row[:, 9]
+        method = row[:, 10]
+        fuzz = row[:, 11]
+        ior = row[:, 12]
+        isc = 1.0 / row[:, 13]
+        par = jnp.sum(jnp.floor(p * isc[:, None]), axis=-1)
+        even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
+        albedo = jnp.where(even_par[:, None], row[:, 14:17], row[:, 17:20])
+
+        u3 = aux_t[_AUX_UX:_AUX_UZ + 1].T
+        cb = aux_t[_AUX_CB]
+        us = aux_t[_AUX_US]
+
+        # ---- diffuse ----
+        s = u3 * cb[:, None]
+        flip = jnp.where(jnp.sum(s * nrm, axis=-1) > 0.0, 1.0, -1.0)
+        off = jnp.where(
+            (method == DIFFUSE_UNIT_SPHERE)[:, None], nrm + s,
+            jnp.where((method == DIFFUSE_UNIT_SPHERE_SURFACE)[:, None],
+                      nrm + u3, s * flip[:, None]))
+        tg = p + off
+        nz_tgt = jnp.all(jnp.abs(tg) <= 1e-8, axis=-1)
+        tg = jnp.where(nz_tgt[:, None], nrm, tg)
+        dif = tg - p
+
+        # ---- metallic ----
+        ddn = jnp.sum(d * nrm, axis=-1)
+        rf = d - 2.0 * ddn[:, None] * nrm
+        rinv = jax.lax.rsqrt(jnp.maximum(jnp.sum(rf * rf, axis=-1), 1e-24))
+        met = rf * rinv[:, None] + jnp.minimum(fuzz, 1.0)[:, None] * u3
+
+        # ---- dielectric ----
+        def safe_sqrt(x):
+            pos = x > 0.0
+            return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+        eta = jnp.where(front, 1.0 / ior, ior)
+        dinv = jax.lax.rsqrt(jnp.maximum(a, 1e-24))
+        ud = d * dinv[:, None]
+        cos_t = -jnp.sum(ud * nrm, axis=-1)
+        sin_t = safe_sqrt(1.0 - cos_t * cos_t)
+        cannot = eta * sin_t > 1.0
+        r0 = (1.0 - eta) / (1.0 + eta)
+        r0 = r0 * r0
+        om = 1.0 - cos_t
+        om2 = om * om
+        refl_p = r0 + (1.0 - r0) * om2 * om2 * om
+        do_refl = cannot | (refl_p > us)
+        pp = (ud + cos_t[:, None] * nrm) * eta[:, None]
+        parm = -safe_sqrt(1.0 - jnp.sum(pp * pp, axis=-1))
+        diel = jnp.where(do_refl[:, None], rf, pp + parm[:, None] * nrm)
+
+        is_m = kind == MAT_METALLIC
+        is_d = kind == MAT_DIELECTRIC
+        ndir = jnp.where(is_d[:, None], diel,
+                         jnp.where(is_m[:, None], met, dif))
+        att = jnp.where(is_d[:, None], jnp.ones_like(albedo), albedo)
+
+        # ---- miss -> sky (reference's exact formula) ----
+        sky_t = 0.5 * (d[:, 1] * dinv + 1.0)
+        blue = jnp.asarray([0.5, 0.7, 1.0], dtype=dt)
+        sky = (1.0 - sky_t[:, None] + blue) * sky_t[:, None]
+        miss = active & ~hit
+        out = out + jnp.where(miss[:, None], thr * sky, 0.0)
+
+        # state updates gated by the RECORDED continue flag
+        c3 = cont[:, None]
+        thr = jnp.where(c3, thr * att, thr)
+        o = jnp.where(c3, p, o)
+        d = jnp.where(c3, ndir, d)
+        return (o, d, tau, thr, out), None
+
+    zero3 = jnp.zeros((r, 3), dtype=dt)
+    init = (zero3, zero3 + jnp.asarray([0.0, 0.0, 1.0], dt),
+            jnp.zeros((r,), dt), zero3 + 1.0, zero3)
+    body = jax.checkpoint(step) if remat else step
+    (_, _, _, _, out), _ = jax.lax.scan(body, init, (idx, aux))
+    return out
+
+
+def render_diff_pp_flat(scene: Scene, camera: Camera, key, px, py, *,
+                        spp: int, max_depth: int, t_min: float, jitter: bool,
+                        iters: int | None = None, tile_sublanes: int = 16,
+                        interpret=False, return_leftover: bool = False):
+    """Persistent-path record+replay radiance of a flat pixel list [n] ->
+    [n, 3] (spp-averaged). Drop-in for diffkernel.render_diff_flat — this is
+    the per-device body of the sharded recorded train step.
+
+    With ``return_leftover=True`` also returns the total number of samples
+    the iteration budget truncated (0 in practice; see module docstring).
+    """
+    if iters is None:
+        iters = default_iters(spp, max_depth)
+    n_px = px.shape[0]
+    rs = min(tile_sublanes, max(1, -(-n_px // 128)))
+    block = rs * 128
+    r_pad = -(-n_px // block) * block
+    if r_pad != n_px:
+        pad = r_pad - n_px
+        px = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+
+    if is_prng_key(key):
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+    else:
+        seed = jnp.asarray(key, jnp.int32)
+
+    idx, aux, left = record_pp(
+        scene, camera, seed, px.astype(camera.dtype), py.astype(camera.dtype),
+        n_px, spp=spp, max_depth=max_depth, t_min=t_min, jitter=jitter,
+        iters=iters, tile_sublanes=rs, interpret=interpret)
+    # the gather kernels use no pltpu-specific ops, so plain interpret=True
+    # suffices for them off-TPU (cheaper than the TPU-semantics interpreter)
+    rad = replay_pp(scene, idx, aux, t_min=t_min,
+                    interpret=bool(interpret))
+    img = rad[:n_px].astype(camera.dtype) / float(spp)
+    if return_leftover:
+        return img, jnp.sum(left[:n_px])
+    return img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_depth", "t_min", "jitter", "iters",
+                     "tile_sublanes", "interp", "want_left"),
+)
+def _render_diff_pp_jit(scene, camera, seed, *, spp, max_depth, t_min,
+                        jitter, iters, tile_sublanes, interp, want_left):
+    h, w = camera.height, camera.width
+    px, py = _pixel_grid(camera)
+    res = render_diff_pp_flat(
+        scene, camera, seed, px, py, spp=spp, max_depth=max_depth,
+        t_min=t_min, jitter=jitter, iters=iters,
+        tile_sublanes=tile_sublanes, interpret=interp,
+        return_leftover=want_left)
+    if want_left:
+        flat, left = res
+        return flat.reshape(h, w, 3), left
+    return res.reshape(h, w, 3)
+
+
+def render_diff_pp(scene: Scene, camera: Camera, key,
+                   config: RenderConfig = RenderConfig(), *,
+                   iters: int | None = None, tile_sublanes: int = 16,
+                   interpret=None, return_leftover: bool = False):
+    """Differentiable render via persistent-path record/replay — same
+    estimator distribution as the forward megakernel (both respawn camera
+    samples per slot with in-kernel PRNG streams), composing with
+    ``jax.grad`` in the scene's float leaves at a fraction of the
+    bounce-indexed recorder's cost.
+
+    Off-TPU the kernel runs under the TPU-semantics interpreter, whose PRNG
+    stub returns zeros — like the forward megakernel, off-TPU use is for
+    deterministic (jitter=False) configs and tests.
+    """
+    if not supports_diff(scene):
+        raise ValueError("record/replay needs a non-empty scene (spheres "
+                         "and/or triangles)")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    if is_prng_key(key):
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+    else:
+        seed = jnp.asarray(key, jnp.int32)
+    return _render_diff_pp_jit(
+        scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
+        t_min=config.t_min, jitter=config.jitter,
+        iters=(iters if iters is not None
+               else default_iters(config.spp, config.max_depth)),
+        tile_sublanes=tile_sublanes, interp=interpret,
+        want_left=return_leftover)
+
+
+# --------------------------------------------------------------------------
+# Pallas row-gather: tab[idx] without materializing the one-hot in HBM
+# --------------------------------------------------------------------------
+#
+# The replay's per-iteration winner gather as an XLA one-hot matmul writes
+# the [R, P] one-hot to HBM (~0.5 GB per step at the flagship config) three
+# times per trained step (forward, remat recompute, backward transpose) —
+# the dominant replay cost. These kernels build the one-hot per 2048-ray
+# block IN VMEM and contract it on the MXU immediately; HBM traffic drops
+# to the indices and the gathered rows. The backward is the transposed
+# contraction accumulated across blocks in a VMEM scratch.
+
+_GATHER_LANES = 2048
+
+
+def _gather_fwd_kernel(tabT_ref, idx_ref, out_ref):
+    iot = jax.lax.broadcasted_iota(jnp.int32, (tabT_ref.shape[1],
+                                               idx_ref.shape[2]), 0)
+    oh = (iot == idx_ref[0]).astype(tabT_ref.dtype)
+    out_ref[...] = jnp.dot(tabT_ref[...], oh,
+                           preferred_element_type=tabT_ref.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+
+
+def _gather_bwd_kernel(gT_ref, idx_ref, out_ref, acc_ref):
+    i = pl.program_id(0)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (out_ref.shape[1],
+                                               idx_ref.shape[2]), 0)
+    oh = (iot == idx_ref[0]).astype(gT_ref.dtype)
+    # d_tabT[c, p] = sum_r gT[c, r] * oh[p, r]  (contract on the ray lanes)
+    part = jax.lax.dot_general(gT_ref[...], oh,
+                               dimension_numbers=(((1,), (1,)), ((), ())),
+                               preferred_element_type=gT_ref.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(i > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+def _gather_pad(r: int) -> int:
+    return -(-r // _GATHER_LANES) * _GATHER_LANES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows(tab, idx, interpret=False):
+    """``tab[idx]`` ([P, C], [R] int32 -> [R, C]) with a Pallas forward and a
+    transposed-contraction Pallas backward (cotangents scatter-add into
+    ``tab``). Out-of-range idx (e.g. the replay's clamped miss slots) must be
+    pre-clamped to [0, P)."""
+    return _gather_fwd(tab, idx, interpret)
+
+
+def _gather_fwd(tab, idx, interpret):
+    p, c = tab.shape
+    r = idx.shape[0]
+    r_pad = _gather_pad(r)
+    p_pad = max(128, -(-p // 128) * 128)
+    tabT = jnp.pad(tab.T, ((0, 0), (0, p_pad - p)))
+    idx2 = jnp.pad(idx, (0, r_pad - r)).reshape(-1, 1, _GATHER_LANES)
+    nb = idx2.shape[0]
+    outT = pl.pallas_call(
+        _gather_fwd_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((c, p_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _GATHER_LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((c, r_pad), tab.dtype),
+        out_specs=pl.BlockSpec((c, _GATHER_LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tabT, idx2)
+    return outT.T[:r]
+
+
+def _gather_rows_fwd(tab, idx, interpret):
+    return _gather_fwd(tab, idx, interpret), (tab, idx)
+
+
+def _gather_rows_bwd(interpret, res, g):
+    tab, idx = res
+    (p, c), dt = tab.shape, tab.dtype
+    r = idx.shape[0]
+    r_pad = _gather_pad(r)
+    p_pad = max(128, -(-p // 128) * 128)
+    gT = jnp.pad(g.astype(dt).T, ((0, 0), (0, r_pad - r)))
+    # padding lanes carry idx 0 but zero cotangent, so they contribute nothing
+    idx2 = jnp.pad(idx, (0, r_pad - r)).reshape(-1, 1, _GATHER_LANES)
+    nb = idx2.shape[0]
+    d_tabT = pl.pallas_call(
+        _gather_bwd_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((c, _GATHER_LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _GATHER_LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((c, p_pad), dt),
+        out_specs=pl.BlockSpec((c, p_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((c, p_pad), dt)],
+        interpret=interpret,
+    )(gT, idx2)
+    import numpy as _np
+    return d_tabT.T[:p], _np.zeros(idx.shape, jax.dtypes.float0)
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

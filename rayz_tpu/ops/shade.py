@@ -172,5 +172,10 @@ def scatter(key, scene: Scene, direction, time, hit: HitRecord):
     # degenerate direction as absorbed instead (black, measure-zero event).
     nd2 = vec.norm2(new_dir)
     scattered = jnp.where(is_metal, metal_ok, jnp.ones(shape, dtype=bool))
-    scattered = scattered & (nd2 > 1e-20)
+    # Threshold scales with dtype (ADVICE r2): 1e-20 matches the f32 Pallas
+    # engines; f64 scenes with micro-scale geometry (|d|^2 ~ 1e-18 for 1e-9
+    # features) get a far smaller cutoff so legitimate tiny directions are
+    # never misclassified as degenerate.
+    tiny = 1e-20 if nd2.dtype == jnp.float32 else 1e-300
+    scattered = scattered & (nd2 > tiny)
     return new_dir, attenuation, scattered

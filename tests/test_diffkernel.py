@@ -252,3 +252,44 @@ def test_pixel_loss_recorded_triangle_scene_grads():
     assert np.all(np.isfinite(np.asarray(flat)))
     assert float(jnp.sum(jnp.abs(grads["tri_v0"]))) > 0.0
     assert float(jnp.sum(jnp.abs(grads["sphere_center"]))) > 0.0
+
+
+def test_record_smem_guard_and_dense_fallback():
+    """An oversized scene must raise a CLEAR error from the recorded engine
+    (no opaque Mosaic failure), and pixel_loss(engine='recorded') must degrade
+    to the dense differentiable path — the same dispatch discipline as
+    pick_engine('auto') (engine.py:25-34)."""
+    import pytest
+    from rayz_tpu.ops.diffkernel import fits_smem_record
+
+    scene, cam = _metal_scene()
+    assert fits_smem_record(scene)
+
+    n = 16000  # full-table rows: 17 * 16000 * 4B > 900 KB budget
+    f32 = jnp.float32
+    big = scene.replace(
+        sphere_center=jnp.zeros((n, 3), f32),
+        sphere_velocity=jnp.zeros((n, 3), f32),
+        sphere_radius=jnp.ones((n,), f32),
+        sphere_material=jnp.zeros((n,), jnp.int32),
+        sphere_valid=jnp.ones((n,), bool), n_spheres=n)
+    assert not fits_smem_record(big)
+
+    cfg = rt.RenderConfig(spp=1, max_depth=2, jitter=False)
+    with pytest.raises(ValueError, match="SMEM"):
+        render_diff(big, cam, 0, cfg, interpret=True)
+
+    # pixel_loss with engine='recorded' silently uses the dense path: value
+    # and gradient must match engine='dense' EXACTLY (same key, same graph).
+    small = rt.make_camera(width=8, height=8, vfov=55.0, focus_dist=1.0,
+                           look_from=(0, 0, 0), look_at=(0, 0, -1))
+    params = extract_params(big, ("tex_color",))
+    key = jax.random.PRNGKey(3)
+    target = jnp.zeros((8, 8, 3))
+    l_rec, g_rec = jax.value_and_grad(pixel_loss)(
+        params, big, small, key, target, cfg, "recorded")
+    l_den, g_den = jax.value_and_grad(pixel_loss)(
+        params, big, small, key, target, cfg, "dense")
+    assert float(l_rec) == float(l_den)
+    np.testing.assert_array_equal(np.asarray(g_rec["tex_color"]),
+                                  np.asarray(g_den["tex_color"]))

@@ -1,0 +1,218 @@
+"""Persistent-path record/replay tests (CPU, TPU-semantics interpret mode).
+
+The record kernel's PRNG is stubbed to zeros off-TPU (like the forward
+megakernel), so CPU tests use deterministic configs: jitter off, and —
+because zero random bits still produce VALID deterministic scatter samples
+(unit vector (0,0,-1), ball radius 1e-8, Schlick uniform 0) — diffuse
+materials trace deterministic paths too. Stochastic distribution parity runs
+on real TPU in scripts/tpu_check.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rayz_tpu as rt
+from rayz_tpu.diff import extract_params, inject_params, pixel_loss
+from rayz_tpu.ops.pathrec import (default_iters, gather_rows, record_pp,
+                                  render_diff_pp, replay_pp, supports_pp)
+
+
+def _metal_scene(dtype=jnp.float32):
+    b = rt.SceneBuilder()
+    m = b.add_metallic(color=(0.8, 0.7, 0.6), fuzz=0.0)
+    b.add_sphere((0, -100.5, -2), 100.0, m)
+    b.add_sphere((0, 0, -2), 0.5, m)
+    scene = b.build(dtype=dtype)
+    cam = rt.make_camera(width=16, height=16, vfov=55.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1), dtype=dtype)
+    return scene, cam
+
+
+def _mixed_scene(dtype=jnp.float32):
+    """All three materials + a triangle: exercises every replay branch."""
+    b = rt.SceneBuilder()
+    b.add_sphere((0, -100.5, -2), 100.0,
+                 b.add_diffuse(color=(0.5, 0.5, 0.5),
+                               method=rt.models.scene.DIFFUSE_UNIT_SPHERE))
+    b.add_sphere((-0.7, 0, -2), 0.45, b.add_metallic(color=(0.9, 0.8, 0.7)))
+    b.add_sphere((0.7, 0, -2), 0.45, b.add_dielectric(1.5))
+    b.add_triangle((-0.4, 0.8, -2.5), (0.4, 0.8, -2.5), (0, 1.5, -2.5),
+                   b.add_diffuse(color=(0.8, 0.2, 0.2)))
+    scene = b.build(dtype=dtype)
+    cam = rt.make_camera(width=12, height=12, vfov=60.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1), dtype=dtype)
+    return scene, cam
+
+
+def test_default_iters_policy():
+    assert default_iters(1, 32) == 32  # spp=1 always exact (hard cap)
+    assert default_iters(8, 32) == 160  # measured leftover-0 flagship budget
+    assert default_iters(64, 8) == 288
+
+
+def test_deterministic_parity_vs_dense():
+    """jitter off + fuzz-0 metal: zero-randomness paths, so record/replay and
+    the dense integrator agree to float tolerance."""
+    scene, cam = _metal_scene()
+    cfg = rt.RenderConfig(spp=1, max_depth=6, jitter=False)
+    img_pp, left = render_diff_pp(scene, cam, 0, cfg, return_leftover=True)
+    img_x = np.asarray(rt.render(scene, cam, jax.random.PRNGKey(0), cfg))
+    assert int(left) == 0
+    np.testing.assert_allclose(np.asarray(img_pp), img_x, atol=1e-4)
+
+
+def test_spp_averaging_deterministic():
+    """With the stubbed (zero) PRNG every respawned sample traces the same
+    path, so the spp-4 average must equal the spp-1 image exactly — the
+    respawn/accumulate/normalize plumbing in one invariant."""
+    scene, cam = _metal_scene()
+    img1 = np.asarray(render_diff_pp(
+        scene, cam, 0, rt.RenderConfig(spp=1, max_depth=6, jitter=False)))
+    img4 = np.asarray(render_diff_pp(
+        scene, cam, 0, rt.RenderConfig(spp=4, max_depth=6, jitter=False)))
+    np.testing.assert_allclose(img4, img1, atol=1e-6)
+
+
+def test_all_material_branches_parity_vs_bounce_recorder():
+    """Cross-implementation check covering every material branch: feed the
+    BOUNCE-INDEXED recorder (diffkernel) the exact constants the stubbed
+    kernel PRNG produces (zero bits -> unit (1e-12, 0, -1), ball radius
+    1e-8, Schlick uniform 0) so both estimators trace bit-identical paths,
+    then compare radiance. The dense integrator is NOT comparable here: it
+    draws real scatter randoms even with jitter off."""
+    from rayz_tpu.models.camera import generate_rays
+    from rayz_tpu.ops.diffkernel import record_paths, replay_paths
+    from rayz_tpu.ops.integrator import _pixel_grid
+
+    scene, cam = _mixed_scene()
+    depth = 5
+    cfg = rt.RenderConfig(spp=1, max_depth=depth, jitter=False)
+    img_pp = np.asarray(render_diff_pp(scene, cam, 0, cfg))
+
+    px, py = _pixel_grid(cam)
+    n = px.shape[0]
+    rs = max(1, -(-n // 128))
+    pad = rs * 128 - n
+    pxp = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
+    pyp = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+    o, d, tm = generate_rays(cam, pxp, pyp, None)
+    # the zero-bit constants of megakernel/pathrec unit3()/uniform()
+    zero_rand = jnp.broadcast_to(
+        jnp.asarray([1e-12, 0.0, -1.0, 1e-8, 0.0], jnp.float32)[None, :, None],
+        (depth, 5, rs * 128))
+    idx = record_paths(scene, o, d, tm, zero_rand, max_depth=depth,
+                       t_min=cfg.t_min, tile_sublanes=rs, interpret=True)
+    rad = replay_paths(scene, o, d, tm, zero_rand, idx, t_min=cfg.t_min)
+    img_old = np.asarray(rad[:n]).reshape(12, 12, 3)
+    np.testing.assert_allclose(img_pp, img_old, atol=1e-4)
+
+
+def test_iteration_budget_truncation_reported():
+    """A starved budget must report leftover > 0 and still produce finite
+    (partially accumulated) images — the documented truncation semantics."""
+    scene, cam = _metal_scene()
+    cfg = rt.RenderConfig(spp=4, max_depth=6, jitter=False)
+    img, left = render_diff_pp(scene, cam, 0, cfg, iters=2,
+                               return_leftover=True)
+    assert int(left) > 0
+    assert np.isfinite(np.asarray(img)).all()
+    # and the default budget completes
+    img2, left2 = render_diff_pp(scene, cam, 0, cfg, return_leftover=True)
+    assert int(left2) == 0
+
+
+def test_grad_matches_fd_albedo_and_center():
+    """AD through replay_pp vs central finite differences of the SAME
+    recording (f64): the recording is frozen, so this is exact estimator
+    differentiation, not stochastic comparison."""
+    scene, cam = _mixed_scene(dtype=jnp.float64)
+    cfg = rt.RenderConfig(spp=1, max_depth=4, jitter=False)
+    from rayz_tpu.ops.integrator import _pixel_grid
+    from jax.experimental.pallas import tpu as pltpu
+
+    px, py = _pixel_grid(cam)
+    n = px.shape[0]
+    rs = max(1, -(-n // 128))
+    pad = rs * 128 - n
+    pxp = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
+    pyp = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+    idx, aux, left = record_pp(
+        scene, cam, 0, pxp.astype(jnp.float32), pyp.astype(jnp.float32), n,
+        spp=1, max_depth=4, t_min=1e-3, jitter=False, iters=8,
+        tile_sublanes=rs, interpret=pltpu.InterpretParams())
+    assert int(jnp.sum(left[:n])) == 0
+
+    fields = ("tex_color", "sphere_center", "sphere_radius", "tri_v0")
+    params = extract_params(scene, fields)
+
+    def loss(p):
+        rad = replay_pp(inject_params(scene, p), idx, aux, t_min=1e-3,
+                        interpret=True)
+        return jnp.sum(rad[:n] ** 2)
+
+    grads = jax.grad(loss)(params)
+    eps = 1e-5
+    rng = np.random.RandomState(0)
+    for field in fields:
+        g = np.asarray(grads[field])
+        assert np.isfinite(g).all(), field
+        # spot-check 3 coordinates per field by central difference
+        flat = np.asarray(params[field], dtype=np.float64).ravel()
+        picks = rng.choice(flat.size, size=min(3, flat.size), replace=False)
+        for k in picks:
+            fp = flat.copy()
+            fp[k] += eps
+            lp = float(loss({**params, field: jnp.asarray(
+                fp.reshape(params[field].shape))}))
+            fm = flat.copy()
+            fm[k] -= eps
+            lm = float(loss({**params, field: jnp.asarray(
+                fm.reshape(params[field].shape))}))
+            fd = (lp - lm) / (2 * eps)
+            ad = g.ravel()[k]
+            assert abs(fd - ad) <= 1e-4 * max(1.0, abs(fd), abs(ad)), (
+                field, k, fd, ad)
+
+
+def test_pixel_loss_recorded_pp_engine():
+    scene, cam = _metal_scene()
+    cfg = rt.RenderConfig(spp=1, max_depth=4, jitter=False)
+    params = extract_params(scene, ("tex_color",))
+    target = jnp.zeros((16, 16, 3))
+    l, g = jax.value_and_grad(pixel_loss)(
+        params, scene, cam, jax.random.PRNGKey(0), target, cfg, "recorded-pp")
+    assert np.isfinite(float(l))
+    assert np.isfinite(np.asarray(g["tex_color"])).all()
+    assert np.abs(np.asarray(g["tex_color"])).sum() > 0
+
+
+def test_gather_rows_matches_take():
+    key = jax.random.PRNGKey(0)
+    tab = jax.random.normal(key, (37, 20), jnp.float32)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (300,), 0, 37)
+    rows = gather_rows(tab, idx, True)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(tab)[np.asarray(idx)])
+
+    g = jax.random.normal(jax.random.PRNGKey(2), (300, 20), jnp.float32)
+    d = jax.grad(lambda t: jnp.sum(gather_rows(t, idx, True) * g))(tab)
+    d_ref = jax.grad(lambda t: jnp.sum(t[idx] * g))(tab)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+
+
+def test_supports_pp_and_smem_gate():
+    scene, _ = _metal_scene()
+    assert supports_pp(scene)
+    n = 16000
+    f32 = jnp.float32
+    big = scene.replace(
+        sphere_center=jnp.zeros((n, 3), f32),
+        sphere_velocity=jnp.zeros((n, 3), f32),
+        sphere_radius=jnp.ones((n,), f32),
+        sphere_material=jnp.zeros((n,), jnp.int32),
+        sphere_valid=jnp.ones((n,), bool), n_spheres=n)
+    assert not supports_pp(big)
+    with pytest.raises(ValueError, match="SMEM"):
+        render_diff_pp(big, _metal_scene()[1], 0,
+                       rt.RenderConfig(spp=1, max_depth=2, jitter=False))
