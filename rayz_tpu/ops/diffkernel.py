@@ -224,16 +224,19 @@ def _record_kernel(*args, n_pad: int, m_pad: int, t_min: float,
             tnz = tri_ref[_TNZ, j]
             ndd = dx * tnx + dy * tny + dz * tnz
             ndo = ox * tnx + oy * tny + oz * tnz
-            tt = (tri_ref[_TNV0, j] - ndo) / ndd
+            r0 = pl.reciprocal(ndd, approx=True)
+            rcp = r0 * (2.0 - ndd * r0)  # one Newton step: ~full f32
+            tt = (tri_ref[_TNV0, j] - ndo) * rcp
             qv = tt * a
             g1x, g1y, g1z = (tri_ref[_TG1X, j], tri_ref[_TG1Y, j],
                              tri_ref[_TG1Z, j])
             g2x, g2y, g2z = (tri_ref[_TG2X, j], tri_ref[_TG2Y, j],
                              tri_ref[_TG2Z, j])
-            u = (g1x * ox + g1y * oy + g1z * oz
-                 + tt * (g1x * dx + g1y * dy + g1z * dz) - tri_ref[_TG1V, j])
-            v = (g2x * ox + g2y * oy + g2z * oz
-                 + tt * (g2x * dx + g2y * dy + g2z * dz) - tri_ref[_TG2V, j])
+            hx = ox + tt * dx
+            hy = oy + tt * dy
+            hz = oz + tt * dz
+            u = g1x * hx + g1y * hy + g1z * hz - tri_ref[_TG1V, j]
+            v = g2x * hx + g2y * hy + g2z * hz - tri_ref[_TG2V, j]
             better = ((qv >= tmin_a) & (qv < qb)
                       & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
             qb = jnp.where(better, qv, qb)
@@ -410,6 +413,13 @@ def record_paths(scene: Scene, origin, direction, time, rand, *,
 
     n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
     m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
+    # The unroll groups read one full group past a partial tail, and the
+    # recorded indices must line up with _diff_tables' raw padded counts —
+    # so instead of padding the tables (which would shift the triangle index
+    # offset), shrink unroll until it divides both class counts (builder
+    # scenes are padded to multiples of 8, the default).
+    while unroll > 1 and ((n_pad % unroll) or (m_pad % unroll)):
+        unroll //= 2
     tabs = []
     if n_pad:
         tabs.append(sg(scene_tables(scene)))

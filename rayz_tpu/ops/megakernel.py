@@ -140,16 +140,20 @@ def _smem_words(scene: Scene, blk: int) -> int:
     ``fits_smem``'s promise exact — a scene that passes can never hit the
     launch-time guard."""
     gm = use_global_materials(scene)
+    _, unroll = _resolve_tiling(scene, None, None)
     n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
     m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
     if blk:
         n_pad = _round_up(n_pad, blk) if n_pad else 0
         m_pad = _round_up(m_pad, blk) if m_pad else 0
-    rows_s = _GNROWS if gm else _NROWS
-    rows_t = _TGNROWS if gm else _TNROWS
-    words = 18 + (8 if gm else 0) + 2 + rows_s * n_pad + rows_t * m_pad
+    words = 18 + (8 if gm else 0) + 2
     if blk:
         words += 4 * (n_pad // blk) + 4 * (m_pad // blk)
+    n_pad = _round_up(n_pad, unroll) if n_pad else 0
+    m_pad = _round_up(m_pad, unroll) if m_pad else 0
+    rows_s = _GNROWS if gm else _NROWS
+    rows_t = _TGNROWS if gm else _TNROWS
+    words += rows_s * n_pad + rows_t * m_pad
     return words
 
 
@@ -611,16 +615,21 @@ def _kernel(cam_ref, *args,
             tnz = tri_ref[_TNZ, j]
             ndd = dx * tnx + dy * tny + dz * tnz
             ndo = ox * tnx + oy * tny + oz * tnz
-            tt = (tri_ref[_TNV0, j] - ndo) / ndd
+            r0 = pl.reciprocal(ndd, approx=True)
+            rcp = r0 * (2.0 - ndd * r0)  # one Newton step: ~full f32
+            tt = (tri_ref[_TNV0, j] - ndo) * rcp
             qv = tt * a
             g1x, g1y, g1z = (tri_ref[_TG1X, j], tri_ref[_TG1Y, j],
                              tri_ref[_TG1Z, j])
             g2x, g2y, g2z = (tri_ref[_TG2X, j], tri_ref[_TG2Y, j],
                              tri_ref[_TG2Z, j])
-            u = (g1x * ox + g1y * oy + g1z * oz
-                 + tt * (g1x * dx + g1y * dy + g1z * dz) - tri_ref[_TG1V, j])
-            v = (g2x * ox + g2y * oy + g2z * oz
-                 + tt * (g2x * dx + g2y * dy + g2z * dz) - tri_ref[_TG2V, j])
+            # barycentrics on the hit point (6 fewer ops than dotting o and
+            # d separately; same math to f32 rounding)
+            hx = ox + tt * dx
+            hy = oy + tt * dy
+            hz = oz + tt * dz
+            u = g1x * hx + g1y * hy + g1z * hz - tri_ref[_TG1V, j]
+            v = g2x * hx + g2y * hy + g2z * hz - tri_ref[_TG2V, j]
             better = ((qv >= tmin_a) & (qv < qb)
                       & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
             return (jnp.where(better, qv, qb),
@@ -700,16 +709,21 @@ def _kernel(cam_ref, *args,
             tnz = tri_ref[_TNZ, j]
             ndd = dx * tnx + dy * tny + dz * tnz
             ndo = ox * tnx + oy * tny + oz * tnz
-            tt = (tri_ref[_TNV0, j] - ndo) / ndd
+            r0 = pl.reciprocal(ndd, approx=True)
+            rcp = r0 * (2.0 - ndd * r0)  # one Newton step: ~full f32
+            tt = (tri_ref[_TNV0, j] - ndo) * rcp
             qv = tt * a
             g1x, g1y, g1z = (tri_ref[_TG1X, j], tri_ref[_TG1Y, j],
                              tri_ref[_TG1Z, j])
             g2x, g2y, g2z = (tri_ref[_TG2X, j], tri_ref[_TG2Y, j],
                              tri_ref[_TG2Z, j])
-            u = (g1x * ox + g1y * oy + g1z * oz
-                 + tt * (g1x * dx + g1y * dy + g1z * dz) - tri_ref[_TG1V, j])
-            v = (g2x * ox + g2y * oy + g2z * oz
-                 + tt * (g2x * dx + g2y * dy + g2z * dz) - tri_ref[_TG2V, j])
+            # barycentrics on the hit point (6 fewer ops than dotting o and
+            # d separately; same math to f32 rounding)
+            hx = ox + tt * dx
+            hy = oy + tt * dy
+            hz = oz + tt * dz
+            u = g1x * hx + g1y * hy + g1z * hz - tri_ref[_TG1V, j]
+            v = g2x * hx + g2y * hy + g2z * hz - tri_ref[_TG2V, j]
             ok = ((qv >= tmin_a) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
             qv = jnp.where(ok, qv, _BIG)
             return (qv, tnx, tny, tnz, *tri_attr_rows(j))
@@ -739,8 +753,10 @@ def _kernel(cam_ref, *args,
 
         sph_group = (tree_group(sphere_candidate) if tree
                      else chain_group(one_sphere))
-        tri_group = (tree_group(tri_candidate) if tree
-                     else chain_group(one_triangle))
+        # Triangles always use the serial chain: the candidate's Newton
+        # reciprocal dominates its latency and the tournament merge measured
+        # ~10-20% SLOWER on the Cornell box (tree still wins for spheres).
+        tri_group = chain_group(one_triangle)
 
         h = hit0
         if n_pad:
@@ -982,6 +998,11 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
             blk_inputs.append(_block_rows(jnp.pad(lo[perm], pad3),
                                           jnp.pad(hi[perm], pad3),
                                           valid, blk))
+        # The unroll groups read a full group past the last partial one:
+        # pad to an unroll multiple with poisoned columns (an OOB SMEM read
+        # on hardware silently returns garbage that could fabricate hits).
+        n_pad = _round_up(n_pad, unroll)
+        stab = _pad_poison(stab, n_pad, _CCMR2)
         inputs.append(stab)
     if m_pad:
         ttab = tri_tables_gm(scene) if gm else tri_tables(scene)
@@ -996,6 +1017,8 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
             blk_inputs.append(_block_rows(jnp.pad(lo[perm], pad3),
                                           jnp.pad(hi[perm], pad3),
                                           valid, blk))
+        m_pad = _round_up(m_pad, unroll)
+        ttab = _pad_poison(ttab, m_pad, _TG1V)
         inputs.append(ttab)
     inputs.extend(blk_inputs)
     inputs.append(seed_arr)
@@ -1031,6 +1054,20 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
     return flat[:n_local]
 
 
+def _resolve_tiling(scene: Scene, tile_sublanes: Optional[int],
+                    unroll: Optional[int]):
+    """Per-scene tiling defaults (measured on v5e): sphere scenes run best
+    at tile_sublanes=16 / unroll=8; triangle-dominant scenes at 32 / 16
+    (+13% on the Cornell box — bigger tiles amortize the per-tile fixed
+    cost over the longer enclosed-scene bounce chains)."""
+    tri_dom = scene.n_triangles > scene.n_spheres
+    if tile_sublanes is None:
+        tile_sublanes = 32 if tri_dom else 16
+    if unroll is None:
+        unroll = 16 if tri_dom else 8
+    return tile_sublanes, unroll
+
+
 def _resolve_blk(scene: Scene, culling: Optional[bool],
                  block_size: int) -> int:
     if culling is None:
@@ -1058,7 +1095,8 @@ def _render_pallas_impl(scene: Scene, camera: Camera, seed, *, spp: int,
 
 
 def render_pallas(scene: Scene, camera: Camera, key, config, *,
-                  tile_sublanes: int = 16, unroll: int = 8,
+                  tile_sublanes: Optional[int] = None,
+                  unroll: Optional[int] = None,
                   interpret: Optional[bool] = None,
                   culling: Optional[bool] = None,
                   block_size: int = DEFAULT_BLOCK,
@@ -1068,9 +1106,9 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
 
     ``key`` may be a PRNG key (folded to a seed) or an integer seed.
     ``interpret`` defaults to True off-TPU so tests can run the kernel on the
-    CPU backend. Defaults tile_sublanes=16 (2048 ray slots/tile) and
-    unroll=8 are the empirical optimum on TPU v5e for the ~500-sphere
-    flagship scene (19.4 Mrays/s at 512x512 64spp depth 32).
+    CPU backend. ``tile_sublanes``/``unroll`` default per scene class
+    (``_resolve_tiling``): 16/8 is the measured v5e optimum for the
+    ~500-sphere flagship, 32/16 for the triangle-dominant Cornell box.
 
     ``culling``: block culling (the BVH capability, hit.zig:101-217, redone
     TPU-style — Morton-sorted primitive blocks behind tile-wide bounding-
@@ -1080,6 +1118,7 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
     if not supports_scene(scene):
         raise ValueError("megakernel needs a non-empty scene (spheres and/or "
                          "triangles)")
+    tile_sublanes, unroll = _resolve_tiling(scene, tile_sublanes, unroll)
     blk = _resolve_blk(scene, culling, block_size)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -1139,7 +1178,8 @@ def _render_sharded_impl(scene: Scene, camera: Camera, seed, *, config, mesh,
 
 
 def render_pallas_sharded(scene: Scene, camera: Camera, key, config, mesh, *,
-                          tile_sublanes: int = 16, unroll: int = 8,
+                          tile_sublanes: Optional[int] = None,
+                          unroll: Optional[int] = None,
                           interpret: Optional[bool] = None,
                           culling: Optional[bool] = None,
                           block_size: int = DEFAULT_BLOCK) -> jnp.ndarray:
@@ -1161,6 +1201,7 @@ def render_pallas_sharded(scene: Scene, camera: Camera, key, config, mesh, *,
         seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
     else:
         seed = jnp.asarray(key, jnp.int32)
+    tile_sublanes, unroll = _resolve_tiling(scene, tile_sublanes, unroll)
     return _render_sharded_impl(
         scene, camera, seed, config=config, mesh=mesh,
         tile_sublanes=tile_sublanes, unroll=unroll, interp=bool(interpret),
