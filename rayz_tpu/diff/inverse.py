@@ -44,7 +44,7 @@ except ImportError:  # pragma: no cover
 from ..models.camera import Camera
 from ..models.scene import Scene
 from ..ops.diffkernel import (default_interpret, fits_smem_record,
-                              render_diff, render_diff_flat)
+                              render_diff, render_diff_flat, supports_diff)
 from ..ops.pathrec import render_diff_pp, render_diff_pp_flat
 from ..ops.integrator import RenderConfig, render, _pixel_grid
 from ..parallel.mesh import _render_shard
@@ -98,9 +98,10 @@ def pixel_loss(params, scene: Scene, camera: Camera, key, target,
     failing inside Mosaic.
     """
     fitted = inject_params(scene, params)
-    if engine == "recorded-pp" and fits_smem_record(scene):
+    recordable = fits_smem_record(scene) and supports_diff(scene)
+    if engine == "recorded-pp" and recordable:
         img = render_diff_pp(fitted, camera, key, config)
-    elif engine == "recorded" and fits_smem_record(scene):
+    elif engine == "recorded" and recordable:
         img = render_diff(fitted, camera, key, config)
     else:
         img = render(fitted, camera, key, config)
@@ -141,7 +142,8 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
     def _loss_grad_shard(params, scene, camera, key, px, py, tgt, weight):
         def local_loss(p):
             fitted = inject_params(scene, p)
-            if engine == "recorded-pp" and fits_smem_record(scene):
+            recordable = fits_smem_record(scene) and supports_diff(scene)
+            if engine == "recorded-pp" and recordable:
                 dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
                 from jax.experimental.pallas import tpu as pltpu
                 kint = pltpu.InterpretParams() if interp else False
@@ -149,7 +151,7 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
                     fitted, camera, dkey, px, py, spp=config.spp,
                     max_depth=config.max_depth, t_min=config.t_min,
                     jitter=config.jitter, interpret=kint)
-            elif engine == "recorded" and fits_smem_record(scene):
+            elif engine == "recorded" and recordable:
                 dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
                 img = render_diff_flat(
                     fitted, camera, dkey, px, py, spp=config.spp,

@@ -99,6 +99,13 @@ class Scene:
     n_spheres: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
     has_motion: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # True when some checker texture's child is itself a checker. The Pallas
+    # engines resolve exactly ONE level of checker nesting (megakernel
+    # _material_rows); the XLA integrator chases four (shade.py). Scenes with
+    # deeper nests are REJECTED by the Pallas engines (clear error /
+    # auto-dispatch to XLA) instead of silently degrading. Set by
+    # SceneBuilder; defaults False for directly constructed scenes.
+    deep_checker: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # Structural uniqueness hints for the megakernel's global-material fast
     # path (values stay traced; only the STRUCTURE is static): the texture
     # index of the scene's sole checker texture, and the material index of its
@@ -267,6 +274,10 @@ class SceneBuilder:
 
         uniq_checker = uniq(i for i, t in enumerate(tk) if t == TEX_CHECKER)
         uniq_diel = uniq(i for i, k in enumerate(mk) if k == MAT_DIELECTRIC)
+        deep_checker = any(
+            t == TEX_CHECKER and (tk[te[i]] == TEX_CHECKER
+                                  or tk[to[i]] == TEX_CHECKER)
+            for i, t in enumerate(tk))
 
         return Scene(
             sphere_center=farr(self._sph_center, (npad, 3)),
@@ -294,4 +305,5 @@ class SceneBuilder:
             has_motion=has_motion,
             uniq_checker_tex=uniq_checker,
             uniq_dielectric_mat=uniq_diel,
+            deep_checker=deep_checker,
         )

@@ -96,8 +96,11 @@ def supports_diff(scene: Scene) -> bool:
     """Record/replay covers any non-empty sphere/triangle scene — the full
     differentiable-parameter surface of BASELINE config 5 plus triangle
     vertices (the winner index is recorded across both primitive classes; the
-    replay's plane-distance/normal are smooth in v0/v1/v2)."""
-    return scene.n_spheres > 0 or scene.n_triangles > 0
+    replay's plane-distance/normal are smooth in v0/v1/v2). Nested-checker
+    scenes are excluded: the replay resolves one checker level (like the
+    megakernel) and would silently shade differently than the dense path."""
+    return ((scene.n_spheres > 0 or scene.n_triangles > 0)
+            and not scene.deep_checker)
 
 
 def fits_smem_record(scene: Scene) -> bool:
@@ -811,6 +814,11 @@ def render_diff(scene: Scene, camera: Camera, key,
     in-kernel PRNG is used, so stochastic paths work everywhere.
     """
     if not supports_diff(scene):
+        if scene.deep_checker:
+            raise ValueError(
+                "record/replay resolves only ONE level of checker nesting; "
+                "use the dense engine (rayz_tpu.render / "
+                "pixel_loss(engine='dense')) for nested-checker scenes")
         raise ValueError("record/replay needs a non-empty scene (spheres "
                          "and/or triangles)")
     if interpret is None:

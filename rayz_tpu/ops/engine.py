@@ -17,18 +17,22 @@ from __future__ import annotations
 import jax
 
 from .integrator import RenderConfig, render_jit
-from .megakernel import fits_smem, is_prng_key, render_pallas, supports_scene
+from .megakernel import (fits_smem, fits_stream, is_prng_key, render_pallas,
+                         supports_scene)
 
 __all__ = ["render_fast", "pick_engine"]
 
 
 def pick_engine(scene, engine: str = "auto") -> str:
-    """Resolve an engine name ("auto" -> "pallas"|"xla"). Scenes whose tables
-    exceed the kernel's SMEM budget (~16k primitives) fall back to xla."""
+    """Resolve an engine name ("auto" -> "pallas"|"xla"). Scenes whose
+    tables exceed the SMEM budget (~16k primitives) run the megakernel's
+    STREAMED mode (tables in HBM, chunked DMA — unbounded N); only scenes
+    too large even for streaming (~50M primitives) fall back to xla."""
     if engine == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         return "pallas" if (on_tpu and supports_scene(scene)
-                            and fits_smem(scene)) else "xla"
+                            and (fits_smem(scene) or fits_stream(scene))) \
+            else "xla"
     if engine not in ("pallas", "xla"):
         raise ValueError(f"unknown engine {engine!r}")
     return engine

@@ -66,8 +66,9 @@ from ..models.scene import (
 )
 
 __all__ = ["render_pallas", "render_pallas_sharded", "supports_scene",
-           "fits_smem", "scene_tables", "tri_tables", "scene_tables_gm",
-           "tri_tables_gm", "use_global_materials", "is_prng_key"]
+           "fits_smem", "fits_stream", "scene_tables", "tri_tables",
+           "scene_tables_gm", "tri_tables_gm", "use_global_materials",
+           "is_prng_key"]
 
 
 def is_prng_key(key) -> bool:
@@ -121,14 +122,21 @@ SMEM_BUDGET = 900_000
 CULLING_AUTO_THRESHOLD = 2048
 DEFAULT_BLOCK = 64
 
+#: Streaming chunk size (primitives per HBM->SMEM DMA when the scene exceeds
+#: the SMEM budget). Must be a multiple of DEFAULT_BLOCK and the unroll.
+DEFAULT_STREAM_CHUNK = 4096
+
 
 def supports_scene(scene: Scene) -> bool:
-    """Static (shape-level) eligibility: any non-empty sphere/triangle scene.
-    Texture nesting depth is a value-level property; one level of checker is
-    resolved in :func:`scene_tables` and deeper nests degrade to the child's
-    base color (matching the XLA path's own finite unroll fallback,
-    shade.py)."""
-    return scene.n_spheres > 0 or scene.n_triangles > 0
+    """Static eligibility: any non-empty sphere/triangle scene WITHOUT
+    nested checker textures. The kernel resolves exactly one level of
+    checker (:func:`_material_rows`) while the reference recurses through
+    the texture pool (material.zig:37-38) and the XLA integrator chases four
+    levels (shade.py) — a deeper nest would render DIFFERENTLY here, so such
+    scenes are routed to the XLA engine instead of silently degrading
+    (Scene.deep_checker, set by SceneBuilder)."""
+    return ((scene.n_spheres > 0 or scene.n_triangles > 0)
+            and not scene.deep_checker)
 
 
 def _smem_words(scene: Scene, blk: int) -> int:
@@ -155,6 +163,27 @@ def _smem_words(scene: Scene, blk: int) -> int:
     rows_t = _TGNROWS if gm else _TNROWS
     words += rows_s * n_pad + rows_t * m_pad
     return words
+
+
+def fits_stream(scene: Scene,
+                stream_chunk: int = DEFAULT_STREAM_CHUNK) -> bool:
+    """Whether the STREAMED megakernel can run this scene: only the chunk
+    scratch, per-chunk bound rows, and camera/seed must fit SMEM (the tables
+    themselves live in HBM) — ~50M primitives at the default chunk size
+    before the bound rows outgrow the budget."""
+    gm = use_global_materials(scene)
+    n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
+    m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
+    rows_s = _GNROWS if gm else _NROWS
+    rows_t = _TGNROWS if gm else _TNROWS
+    words = 18 + (8 if gm else 0) + 2
+    for n, rows in ((n_pad, rows_s), (m_pad, rows_t)):
+        if n:
+            n = _round_up(n, stream_chunk)
+            words += rows * stream_chunk      # chunk scratch
+            words += 4 * 128                  # block-row scratch (128/chunk)
+            words += 4 * (n // stream_chunk)  # resident chunk bounds
+    return 4 * words <= SMEM_BUDGET
 
 
 def fits_smem(scene: Scene, culling: Optional[bool] = None,
@@ -413,7 +442,7 @@ def _kernel(cam_ref, *args,
             width: int, height: int, n_pad: int, m_pad: int, spp: int,
             max_depth: int, t_min: float, jitter: bool, has_motion: bool,
             rs: int, unroll: int, gm: bool, blk: int = 0,
-            tree: bool = True):
+            tree: bool = True, stream: int = 0, stream_cull: bool = True):
     """One grid step = one tile of rs*128 persistent ray slots.
 
     ``args`` carries the sphere table iff ``n_pad > 0`` and the triangle
@@ -429,11 +458,31 @@ def _kernel(cam_ref, *args,
     best — ``lax.cond`` on a scalar any-reduce, the tile-level analogue of
     BVH pruning with shrinking tmax."""
     refs = list(args)
-    tab_ref = refs.pop(0) if n_pad else None
-    tri_ref = refs.pop(0) if m_pad else None
-    sblk_ref = refs.pop(0) if (blk and n_pad) else None
-    tblk_ref = refs.pop(0) if (blk and m_pad) else None
-    seed_ref, r_ref, g_ref, b_ref = refs
+    if stream:
+        # Streaming mode (the unbounded-N acceleration path): tables live in
+        # HBM, Morton-sorted into chunks of ``stream`` primitives; per bounce
+        # each chunk is bound-tested (bounds resident in SMEM) and DMA'd
+        # into SMEM scratch for the sweep. The candidate/group code below is
+        # UNCHANGED — tab_ref/tri_ref simply point at the chunk scratch.
+        s_hbm = refs.pop(0) if n_pad else None
+        t_hbm = refs.pop(0) if m_pad else None
+        s_cbnd = refs.pop(0) if n_pad else None
+        t_cbnd = refs.pop(0) if m_pad else None
+        s_blkh = refs.pop(0) if (blk and n_pad) else None
+        t_blkh = refs.pop(0) if (blk and m_pad) else None
+        seed_ref, r_ref, g_ref, b_ref = refs[:4]
+        scr = refs[4:]
+        tab_ref = scr.pop(0) if n_pad else None
+        sblk_ref = scr.pop(0) if (blk and n_pad) else None
+        tri_ref = scr.pop(0) if m_pad else None
+        tblk_ref = scr.pop(0) if (blk and m_pad) else None
+        sem_ref = scr.pop(0)
+    else:
+        tab_ref = refs.pop(0) if n_pad else None
+        tri_ref = refs.pop(0) if m_pad else None
+        sblk_ref = refs.pop(0) if (blk and n_pad) else None
+        tblk_ref = refs.pop(0) if (blk and m_pad) else None
+        seed_ref, r_ref, g_ref, b_ref = refs
     f32 = jnp.float32
     i32 = jnp.int32
     shape = (rs, 128)
@@ -758,15 +807,71 @@ def _kernel(cam_ref, *args,
         # ~10-20% SLOWER on the Cornell box (tree still wins for spheres).
         tri_group = chain_group(one_triangle)
 
+        def _stream_loop(h, n_items, hbm_ref, cbnd_ref, blkh_ref, sc_ref,
+                         blk_sc, sem_slot, group_fn):
+            """Chunked HBM->SMEM streaming sweep: per chunk, a bounding-
+            sphere test (same math as _culled_loop's, bound rows resident in
+            SMEM) decides whether to run the sweep; the chunk's table slice
+            is DMA'd into SMEM scratch unconditionally (DMA is ~250x cheaper
+            than the sweep it feeds, so fetch-always keeps the lowering
+            simple), with the bound test evaluated while the copy is in
+            flight. Inside a fetched chunk the existing 64-block culled loop
+            runs against the streamed block rows — a two-level hierarchy:
+            chunk bound, then block bound, then candidates."""
+            n_chunks = n_items // stream
+
+            def chunk_body(c, h):
+                cp = pltpu.make_async_copy(
+                    hbm_ref.at[:, pl.ds(c * stream, stream)], sc_ref,
+                    sem_ref.at[sem_slot])
+                cp.start()
+                if blk:
+                    nb = stream // blk
+                    cp2 = pltpu.make_async_copy(
+                        blkh_ref.at[:, pl.ds(c * nb, nb)], blk_sc,
+                        sem_ref.at[sem_slot + 1])
+                    cp2.start()
+                qb = h[0]
+                bx = cbnd_ref[0, c]
+                by = cbnd_ref[1, c]
+                bz = cbnd_ref[2, c]
+                ccb = cbnd_ref[3, c]
+                hb = dx * bx + dy * by + dz * bz - d_dot_o
+                ob = ox * bx + oy * by + oz * bz
+                disc = hb * hb - a * (ccb - 2.0 * ob + o2)
+                rtb = jnp.sqrt(disc)  # NaN on miss -> compares false
+                possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
+                cp.wait()
+                if blk:
+                    cp2.wait()
+
+                def run(h):
+                    if blk:
+                        return _culled_loop(h, stream, blk_sc, group_fn)
+                    return jax.lax.fori_loop(
+                        0, stream // unroll, group_fn, h)
+
+                if not stream_cull:  # forced brute force (benchmarks)
+                    return run(h)
+                return jax.lax.cond(jnp.any(possible), run, lambda h: h, h)
+
+            return jax.lax.fori_loop(0, n_chunks, chunk_body, h)
+
         h = hit0
         if n_pad:
-            if blk:
+            if stream:
+                h = _stream_loop(h, n_pad, s_hbm, s_cbnd, s_blkh, tab_ref,
+                                 sblk_ref, 0, sph_group)
+            elif blk:
                 h = _culled_loop(h, n_pad, sblk_ref, sph_group)
             else:
                 h = jax.lax.fori_loop(
                     0, (n_pad + unroll - 1) // unroll, sph_group, h)
         if m_pad:
-            if blk:
+            if stream:
+                h = _stream_loop(h, m_pad, t_hbm, t_cbnd, t_blkh, tri_ref,
+                                 tblk_ref, 2, tri_group)
+            elif blk:
                 h = _culled_loop(h, m_pad, tblk_ref, tri_group)
             else:
                 h = jax.lax.fori_loop(
@@ -959,7 +1064,7 @@ def _kernel(cam_ref, *args,
 def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
                  *, spp: int, max_depth: int, t_min: float, jitter: bool,
                  tile_sublanes: int, unroll: int, interpret, blk: int = 0,
-                 tree: bool = True):
+                 tree: bool = True, stream: int = 0, stream_cull: bool = True):
     """Trace ``n_local`` consecutive pixels starting at global index
     ``pix_offset``; returns flat [n_local, 3] radiance sums (divide by spp for
     the image). This is the unit a device shard executes under shard_map.
@@ -982,6 +1087,14 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
         jnp.asarray(seed, jnp.int32).reshape(()),
         jnp.asarray(pix_offset, jnp.int32).reshape(()),
     ])
+    if stream:
+        return _trace_shard_streamed(
+            scene, camera, seed_arr, cam, n_local, nsub, n_tiles,
+            spp=spp, max_depth=max_depth, t_min=t_min, jitter=jitter,
+            rs=rs, unroll=unroll, interpret=interpret, blk=blk, tree=tree,
+            stream=stream, gm=gm, w=w, h=h, n_pad=n_pad, m_pad=m_pad,
+            stream_cull=stream_cull)
+
     inputs = [cam]
     blk_inputs = []
     if n_pad:
@@ -1054,6 +1167,108 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
     return flat[:n_local]
 
 
+def _trace_shard_streamed(scene, camera, seed_arr, cam, n_local, nsub,
+                          n_tiles, *, spp, max_depth, t_min, jitter, rs,
+                          unroll, interpret, blk, tree, stream, gm, w, h,
+                          n_pad, m_pad, stream_cull=True):
+    """Streamed-table variant of :func:`_trace_shard` (see _stream_loop in
+    the kernel): per-class tables and 64-block bound rows live in HBM,
+    Morton-sorted and padded to a chunk multiple with poisoned columns;
+    per-chunk bounding spheres ride in SMEM. Removes the whole-scene-in-SMEM
+    ceiling — the analogue of the reference BVH's unbounded N
+    (/root/reference/src/hit.zig:101-217) at streaming cost."""
+    assert stream % 128 == 0 and stream % unroll == 0
+    assert blk == 0 or (stream // blk) % 128 == 0, \
+        "block-row DMA slices must be 128-aligned"
+    inputs = [cam]
+    hbm_specs = []
+    cbnds = []
+    blk_hbm = []
+    if n_pad:
+        stab = scene_tables_gm(scene) if gm else scene_tables(scene)
+        lo, hi = _sphere_aabbs(scene)
+        perm = _morton_perm(lo, hi, scene.sphere_valid)
+        stab = stab[:, perm]
+        n_pad = _round_up(n_pad, stream)
+        stab = _pad_poison(stab, n_pad, _CCMR2)
+        rows_pad = _round_up(stab.shape[0], 8)
+        stab = jnp.pad(stab, ((0, rows_pad - stab.shape[0]), (0, 0)))
+        valid = jnp.pad(scene.sphere_valid[perm], (0, n_pad - perm.shape[0]))
+        pad3 = ((0, n_pad - perm.shape[0]), (0, 0))
+        lo = jnp.pad(lo[perm], pad3)
+        hi = jnp.pad(hi[perm], pad3)
+        inputs.append(stab)
+        hbm_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        cbnds.append(_block_rows(lo, hi, valid, stream))
+        if blk:
+            br = _block_rows(lo, hi, valid, blk)
+            blk_hbm.append(jnp.pad(br, ((0, 4), (0, 0))))
+    if m_pad:
+        ttab = tri_tables_gm(scene) if gm else tri_tables(scene)
+        lo, hi = _tri_aabbs(scene)
+        perm = _morton_perm(lo, hi, scene.tri_valid)
+        ttab = ttab[:, perm]
+        m_pad = _round_up(m_pad, stream)
+        ttab = _pad_poison(ttab, m_pad, _TG1V)
+        rows_pad = _round_up(ttab.shape[0], 8)
+        ttab = jnp.pad(ttab, ((0, rows_pad - ttab.shape[0]), (0, 0)))
+        valid = jnp.pad(scene.tri_valid[perm], (0, m_pad - perm.shape[0]))
+        pad3 = ((0, m_pad - perm.shape[0]), (0, 0))
+        lo = jnp.pad(lo[perm], pad3)
+        hi = jnp.pad(hi[perm], pad3)
+        inputs.append(ttab)
+        hbm_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        cbnds.append(_block_rows(lo, hi, valid, stream))
+        if blk:
+            br = _block_rows(lo, hi, valid, blk)
+            blk_hbm.append(jnp.pad(br, ((0, 4), (0, 0))))
+    inputs.extend(cbnds)
+    smem_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(cbnds)
+    inputs.extend(blk_hbm)
+    hbm_specs2 = [pl.BlockSpec(memory_space=pl.ANY)] * len(blk_hbm)
+    inputs.append(seed_arr)
+
+    # DMA slabs must be 8-sublane aligned: pad the HBM tables (and the
+    # matching SMEM scratch) to a row multiple of 8 (13-row gm tables fault
+    # the chip otherwise; extra rows are never read).
+    rows_s = _round_up(_GNROWS if gm else _NROWS, 8)
+    rows_t = _round_up(_TGNROWS if gm else _TNROWS, 8)
+    scratch = []
+    if n_pad:
+        scratch.append(pltpu.SMEM((rows_s, stream), jnp.float32))
+        if blk:
+            scratch.append(pltpu.SMEM((8, stream // blk), jnp.float32))
+    if m_pad:
+        scratch.append(pltpu.SMEM((rows_t, stream), jnp.float32))
+        if blk:
+            scratch.append(pltpu.SMEM((8, stream // blk), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
+
+    kern = functools.partial(
+        _kernel, width=w, height=h, n_pad=n_pad, m_pad=m_pad, spp=spp,
+        max_depth=max_depth, t_min=t_min, jitter=jitter,
+        has_motion=scene.has_motion, rs=rs, unroll=unroll, gm=gm, blk=blk,
+        tree=tree, stream=stream, stream_cull=stream_cull)
+
+    out_shape = jax.ShapeDtypeStruct((nsub, 128), jnp.float32)
+    out_spec = pl.BlockSpec((rs, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    r, g, b = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + hbm_specs + smem_specs + hbm_specs2
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=(out_spec, out_spec, out_spec),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(*inputs)
+    flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+    return flat[:n_local]
+
+
 def _resolve_tiling(scene: Scene, tile_sublanes: Optional[int],
                     unroll: Optional[int]):
     """Per-scene tiling defaults (measured on v5e): sphere scenes run best
@@ -1080,17 +1295,20 @@ def _resolve_blk(scene: Scene, culling: Optional[bool],
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "t_min", "jitter", "tile_sublanes",
-                     "unroll", "interpret", "blk", "tree"),
+                     "unroll", "interpret", "blk", "tree", "stream",
+                     "stream_cull"),
 )
 def _render_pallas_impl(scene: Scene, camera: Camera, seed, *, spp: int,
                         max_depth: int, t_min: float, jitter: bool,
                         tile_sublanes: int, unroll: int, interpret: bool,
-                        blk: int = 0, tree: bool = True):
+                        blk: int = 0, tree: bool = True, stream: int = 0,
+                        stream_cull: bool = True):
     h, w = camera.height, camera.width
     flat = _trace_shard(
         scene, camera, seed, 0, h * w, spp=spp, max_depth=max_depth,
         t_min=t_min, jitter=jitter, tile_sublanes=tile_sublanes,
-        unroll=unroll, interpret=interpret, blk=blk, tree=tree)
+        unroll=unroll, interpret=interpret, blk=blk, tree=tree,
+        stream=stream, stream_cull=stream_cull)
     return (flat.reshape(h, w, 3) / float(spp)).astype(camera.dtype)
 
 
@@ -1100,7 +1318,8 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
                   interpret: Optional[bool] = None,
                   culling: Optional[bool] = None,
                   block_size: int = DEFAULT_BLOCK,
-                  tree: bool = True) -> jnp.ndarray:
+                  tree: bool = True,
+                  stream: Optional[int] = None) -> jnp.ndarray:
     """Render via the fused Pallas megakernel; drop-in for
     :func:`rayz_tpu.ops.integrator.render` on supported scenes.
 
@@ -1116,10 +1335,31 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
     primitives; pass True/False to force.
     """
     if not supports_scene(scene):
+        if scene.deep_checker:
+            raise ValueError(
+                "megakernel resolves only ONE level of checker nesting; "
+                "this scene nests checkers inside checkers — render it with "
+                "engine='xla' (rayz_tpu.render), which chases four levels")
         raise ValueError("megakernel needs a non-empty scene (spheres and/or "
                          "triangles)")
     tile_sublanes, unroll = _resolve_tiling(scene, tile_sublanes, unroll)
     blk = _resolve_blk(scene, culling, block_size)
+    if stream is None:
+        stream = 0 if fits_smem(scene, culling, block_size) \
+            else DEFAULT_STREAM_CHUNK
+    stream_cull = culling is not False
+    if stream and tile_sublanes == 16:
+        tile_sublanes = 32  # measured +14% at 64k (amortizes chunk DMAs)
+    if stream:
+        if stream % 128:
+            raise ValueError("stream chunk must be a multiple of 128 (HBM "
+                             "DMA slices are lane-tile aligned)")
+        # inner block culling: the block-row DMA slice must also be
+        # 128-aligned, so blocks are stream/128 primitives; disable below
+        # the unroll granularity (tiny forced-stream test chunks).
+        blk = stream // 128
+        if blk < unroll or blk % unroll or not stream_cull:
+            blk = 0
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if interpret is True:
@@ -1133,7 +1373,7 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
         scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
         t_min=config.t_min, jitter=config.jitter,
         tile_sublanes=tile_sublanes, unroll=unroll, interpret=interpret,
-        blk=blk, tree=tree)
+        blk=blk, tree=tree, stream=stream, stream_cull=stream_cull)
 
 
 @functools.partial(

@@ -783,6 +783,11 @@ def render_diff_pp(scene: Scene, camera: Camera, key,
     deterministic (jitter=False) configs and tests.
     """
     if not supports_diff(scene):
+        if scene.deep_checker:
+            raise ValueError(
+                "record/replay resolves only ONE level of checker nesting; "
+                "use the dense engine (rayz_tpu.render / "
+                "pixel_loss(engine='dense')) for nested-checker scenes")
         raise ValueError("record/replay needs a non-empty scene (spheres "
                          "and/or triangles)")
     if interpret is None:

@@ -68,7 +68,11 @@ def assemble_global_image(img) -> Optional[np.ndarray]:
     from jax.experimental import multihost_utils
 
     if jax.process_count() > 1:
-        img = multihost_utils.process_allgather(img, tiled=False)
+        # tiled=True: the input IS the global (sharded) array whose pieces
+        # are gathered in place — tiled=False would stack a new leading
+        # process axis and is rejected outright for non-fully-addressable
+        # inputs (bug found by the real 2-process loopback test, round 3).
+        img = multihost_utils.process_allgather(img, tiled=True)
         # process_allgather returns the full array on every host; only host 0
         # should write it.
         if not is_primary_host():

