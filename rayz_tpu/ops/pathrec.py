@@ -104,7 +104,7 @@ from .megakernel import (
 )
 
 __all__ = ["render_diff_pp", "render_diff_pp_flat", "record_pp", "replay_pp",
-           "default_iters", "supports_pp"]
+           "replay_pp_fused", "gather_rows", "gather_rows_T", "default_iters", "supports_pp"]
 
 # aux plane rows (per iteration, per slot)
 _AUX_UX, _AUX_UY, _AUX_UZ, _AUX_CB, _AUX_US = 0, 1, 2, 3, 4  # scatter randoms
@@ -579,7 +579,9 @@ def replay_pp(scene: Scene, idx, aux, *, t_min: float,
         # winner row via the Pallas MXU gather (one-hot built in VMEM —
         # an XLA one-hot would write [R, P] to HBM three times per trained
         # step; see gather_rows below)
-        row = gather_rows(tab, i, bool(interpret))
+        from jax.ad_checkpoint import checkpoint_name
+        row = checkpoint_name(gather_rows(tab, i, bool(interpret)),
+                              "pp_rows")
         a = jnp.sum(d * d, axis=-1)
 
         if with_sph:
@@ -702,7 +704,14 @@ def replay_pp(scene: Scene, idx, aux, *, t_min: float,
     zero3 = jnp.zeros((r, 3), dtype=dt)
     init = (zero3, zero3 + jnp.asarray([0.0, 0.0, 1.0], dt),
             jnp.zeros((r,), dt), zero3 + 1.0, zero3)
-    body = jax.checkpoint(step) if remat else step
+    if remat:
+        # Save the gathered winner rows ([R, 20]/step) so the backward's
+        # per-step recompute skips the gather kernel; everything else
+        # rematerializes from the carry.
+        policy = jax.checkpoint_policies.save_only_these_names("pp_rows")
+        body = jax.checkpoint(step, policy=policy)
+    else:
+        body = step
     (_, _, _, _, out), _ = jax.lax.scan(body, init, (idx, aux))
     return out
 
@@ -710,7 +719,8 @@ def replay_pp(scene: Scene, idx, aux, *, t_min: float,
 def render_diff_pp_flat(scene: Scene, camera: Camera, key, px, py, *,
                         spp: int, max_depth: int, t_min: float, jitter: bool,
                         iters: int | None = None, tile_sublanes: int = 16,
-                        interpret=False, return_leftover: bool = False):
+                        interpret=False, return_leftover: bool = False,
+                        fused: bool | None = None):
     """Persistent-path record+replay radiance of a flat pixel list [n] ->
     [n, 3] (spp-averaged). Drop-in for diffkernel.render_diff_flat — this is
     the per-device body of the sharded recorded train step.
@@ -738,10 +748,18 @@ def render_diff_pp_flat(scene: Scene, camera: Camera, key, px, py, *,
         scene, camera, seed, px.astype(camera.dtype), py.astype(camera.dtype),
         n_px, spp=spp, max_depth=max_depth, t_min=t_min, jitter=jitter,
         iters=iters, tile_sublanes=rs, interpret=interpret)
-    # the gather kernels use no pltpu-specific ops, so plain interpret=True
-    # suffices for them off-TPU (cheaper than the TPU-semantics interpreter)
-    rad = replay_pp(scene, idx, aux, t_min=t_min,
-                    interpret=bool(interpret))
+    # The fused Pallas replay (default for f32 scenes) skips idle
+    # iterations and keeps step intermediates on-chip; the XLA scan replay
+    # remains the oracle and the f64 path. The replay-side kernels use no
+    # pltpu-specific ops, so plain interpret=True suffices off-TPU.
+    if fused is None:
+        fused = scene.dtype == jnp.float32
+    if fused:
+        rad = replay_pp_fused(scene, idx, aux, t_min=t_min, tile_sublanes=rs,
+                              interpret=bool(interpret))
+    else:
+        rad = replay_pp(scene, idx, aux, t_min=t_min,
+                        interpret=bool(interpret))
     img = rad[:n_px].astype(camera.dtype) / float(spp)
     if return_leftover:
         return img, jnp.sum(left[:n_px])
@@ -823,32 +841,50 @@ _GATHER_LANES = 2048
 
 
 def _gather_fwd_kernel(tabT_ref, idx_ref, out_ref):
-    iot = jax.lax.broadcasted_iota(jnp.int32, (tabT_ref.shape[1],
-                                               idx_ref.shape[2]), 0)
-    oh = (iot == idx_ref[0]).astype(tabT_ref.dtype)
-    out_ref[...] = jnp.dot(tabT_ref[...], oh,
-                           preferred_element_type=tabT_ref.dtype,
-                           precision=jax.lax.Precision.HIGHEST)
+    # idx < 0 (miss/idle lanes) matches no one-hot row -> zero output; a
+    # block with NO valid index (an idle tile-iteration of the fused
+    # replay) skips the matmul entirely and writes zeros.
+    idx = idx_ref[0]
+
+    @pl.when(jnp.any(idx >= 0))
+    def _live():
+        iot = jax.lax.broadcasted_iota(jnp.int32, (tabT_ref.shape[1],
+                                                   idx_ref.shape[2]), 0)
+        oh = (iot == idx).astype(tabT_ref.dtype)
+        out_ref[...] = jnp.dot(tabT_ref[...], oh,
+                               preferred_element_type=tabT_ref.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(jnp.logical_not(jnp.any(idx >= 0)))
+    def _idle():
+        out_ref[...] = jnp.zeros(out_ref.shape, tabT_ref.dtype)
 
 
 def _gather_bwd_kernel(gT_ref, idx_ref, out_ref, acc_ref):
     i = pl.program_id(0)
-    iot = jax.lax.broadcasted_iota(jnp.int32, (out_ref.shape[1],
-                                               idx_ref.shape[2]), 0)
-    oh = (iot == idx_ref[0]).astype(gT_ref.dtype)
-    # d_tabT[c, p] = sum_r gT[c, r] * oh[p, r]  (contract on the ray lanes)
-    part = jax.lax.dot_general(gT_ref[...], oh,
-                               dimension_numbers=(((1,), (1,)), ((), ())),
-                               preferred_element_type=gT_ref.dtype,
-                               precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(i == 0)
     def _():
-        acc_ref[...] = part
+        acc_ref[...] = jnp.zeros(acc_ref.shape, gT_ref.dtype)
 
-    @pl.when(i > 0)
+    # an all-zero cotangent block (idle tile-iteration) contributes exactly
+    # nothing — skip its transposed matmul (~60% of blocks at the default
+    # replay budget)
+    live = (jnp.any(idx_ref[0] >= 0)
+            if idx_ref.shape[2] == gT_ref.shape[1]
+            else jnp.any(gT_ref[...] != 0.0))
+
+    @pl.when(live)
     def _():
-        acc_ref[...] += part
+        iot = jax.lax.broadcasted_iota(jnp.int32, (out_ref.shape[1],
+                                                   idx_ref.shape[2]), 0)
+        oh = (iot == idx_ref[0]).astype(gT_ref.dtype)
+        # d_tabT[c, p] = sum_r gT[c, r] * oh[p, r] (contract on ray lanes)
+        acc_ref[...] += jax.lax.dot_general(
+            gT_ref[...], oh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=gT_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -857,6 +893,75 @@ def _gather_bwd_kernel(gT_ref, idx_ref, out_ref, acc_ref):
 
 def _gather_pad(r: int) -> int:
     return -(-r // _GATHER_LANES) * _GATHER_LANES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_T(tab, idx, interpret=False):
+    """``tab[idx].T`` ([P, C], [R] -> [C, R_pad]) — the gather kernels'
+    NATIVE layout (rays on lanes). Prefer this when the consumer wants
+    column-major rows (the fused replay): it skips the strided minor-dim
+    transpose that ``gather_rows`` pays on both passes. R is padded up to
+    the lane-block multiple; cotangents for the pad lanes are ignored."""
+    return _gather_fwd_T(tab, idx, interpret)
+
+
+def _gather_fwd_T(tab, idx, interpret):
+    p, c = tab.shape
+    r = idx.shape[0]
+    r_pad = _gather_pad(r)
+    p_pad = max(128, -(-p // 128) * 128)
+    tabT = jnp.pad(tab.T, ((0, 0), (0, p_pad - p)))
+    idx2 = jnp.pad(idx, (0, r_pad - r)).reshape(-1, 1, _GATHER_LANES)
+    nb = idx2.shape[0]
+    return pl.pallas_call(
+        _gather_fwd_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((c, p_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _GATHER_LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((c, r_pad), tab.dtype),
+        out_specs=pl.BlockSpec((c, _GATHER_LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tabT, idx2)
+
+
+def _gather_rows_T_fwd(tab, idx, interpret):
+    return _gather_fwd_T(tab, idx, interpret), (tab, idx)
+
+
+def _gather_rows_T_bwd(interpret, res, gT):
+    tab, idx = res
+    (p, c), dt = tab.shape, tab.dtype
+    r = idx.shape[0]
+    r_pad = _gather_pad(r)
+    p_pad = max(128, -(-p // 128) * 128)
+    gTp = gT.astype(dt)  # already [C, R_pad]
+    idx2 = jnp.pad(idx, (0, r_pad - r)).reshape(-1, 1, _GATHER_LANES)
+    nb = idx2.shape[0]
+    d_tabT = pl.pallas_call(
+        _gather_bwd_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((c, _GATHER_LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _GATHER_LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((c, p_pad), dt),
+        out_specs=pl.BlockSpec((c, p_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((c, p_pad), dt)],
+        interpret=interpret,
+    )(gTp, idx2)
+    import numpy as _np
+    return d_tabT.T[:p], _np.zeros(idx.shape, jax.dtypes.float0)
+
+
+gather_rows_T.defvjp(_gather_rows_T_fwd, _gather_rows_T_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -927,3 +1032,449 @@ def _gather_rows_bwd(interpret, res, g):
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused Pallas replay: fwd + hand-paired bwd kernels (custom_vjp)
+# --------------------------------------------------------------------------
+#
+# The XLA scan replay pays ~1 ms/iteration in unfused intermediates and
+# cannot skip the iterations a tile spends idle (after its samples finish,
+# ~60% of the budget at the default K). These kernels run the same step as
+# one Pallas grid (tiles x iterations): the forward stores each iteration's
+# entry state to HBM and accumulates radiance in VMEM; the backward walks
+# the grid in reverse, recomputes the step from the stored state, and
+# applies its vector-Jacobian product via jax.vjp INSIDE the kernel (the
+# step is pure elementwise math, so its transpose lowers to the same
+# select/multiply ops). Idle iterations skip compute in both directions.
+#
+# Differentiability composes at the XLA level: the winner rows enter as a
+# precomputed input from gather_rows (custom_vjp over the table), and the
+# fused replay's backward emits per-iteration row cotangents.
+
+_ST_ROWS = 10  # ox oy oz dx dy dz tau thx thy thz
+
+
+def _pp_step_c(st, row, aux, hit, miss, is_tri, *, has_motion, with_sph,
+               with_tri, t_min):
+    """One replay iteration on [rs, 128] components. ``st`` is the raw
+    carry BEFORE respawn; ``row`` the 20 winner-row components
+    (differentiable); ``aux`` the 13 recorded aux rows (non-diff);
+    ``hit``/``is_tri`` masks derived from the winner index. Returns
+    (new_state, radiance_add). Mirrors replay_pp's scan body term for
+    term (which mirrors the megakernel and material.zig/geom.zig)."""
+    (ox, oy, oz, dx, dy, dz, tau, thx, thy, thz) = st
+    (ux, uy, uz, cb, us, sox, soy, soz, sdx, sdy, sdz, stau, flg) = aux
+    spawn = flg - 2.0 * jnp.floor(flg * 0.5) >= 0.5
+    cont = flg >= 2.0
+
+    ox = jnp.where(spawn, sox, ox)
+    oy = jnp.where(spawn, soy, oy)
+    oz = jnp.where(spawn, soz, oz)
+    dx = jnp.where(spawn, sdx, dx)
+    dy = jnp.where(spawn, sdy, dy)
+    dz = jnp.where(spawn, sdz, dz)
+    tau = jnp.where(spawn, stau, tau)
+    thx = jnp.where(spawn, 1.0, thx)
+    thy = jnp.where(spawn, 1.0, thy)
+    thz = jnp.where(spawn, 1.0, thz)
+
+    a = dx * dx + dy * dy + dz * dz
+
+    def safe_sqrt(x):
+        pos = x > 0.0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+    if with_sph:
+        cx, cy, cz = row[0], row[1], row[2]
+        if has_motion:
+            cx = cx + tau * row[3]
+            cy = cy + tau * row[4]
+            cz = cz + tau * row[5]
+        rad = row[6]
+        cox, coy, coz = cx - ox, cy - oy, cz - oz
+        half_b = dx * cox + dy * coy + dz * coz
+        c_term = cox * cox + coy * coy + coz * coz - rad * rad
+        disc = half_b * half_b - a * c_term
+        rt = safe_sqrt(disc)
+        q1 = half_b - rt
+        q2 = half_b + rt
+        q = jnp.where(q1 >= t_min * a, q1, q2)
+        t_sph = q / a
+    if with_tri:
+        v0x, v0y, v0z = row[0], row[1], row[2]
+        e1x, e1y, e1z = row[3] - v0x, row[4] - v0y, row[5] - v0z
+        e2x, e2y, e2z = row[6] - v0x, row[7] - v0y, row[8] - v0z
+        pnx = e1y * e2z - e1z * e2y
+        pny = e1z * e2x - e1x * e2z
+        pnz = e1x * e2y - e1y * e2x
+        ndd = pnx * dx + pny * dy + pnz * dz
+        ndd_safe = jnp.where(jnp.abs(ndd) > 0.0, ndd, 1.0)
+        t_tri = (pnx * (v0x - ox) + pny * (v0y - oy)
+                 + pnz * (v0z - oz)) / ndd_safe
+
+    if with_sph and with_tri:
+        t_hit = jnp.where(is_tri, t_tri, t_sph)
+    elif with_tri:
+        t_hit = t_tri
+    else:
+        t_hit = t_sph
+    ts = jnp.where(hit, t_hit, 1.0)
+    px_ = ox + ts * dx
+    py_ = oy + ts * dy
+    pz_ = oz + ts * dz
+
+    if with_sph and with_tri:
+        nx = jnp.where(is_tri, pnx, px_ - cx)
+        ny = jnp.where(is_tri, pny, py_ - cy)
+        nz = jnp.where(is_tri, pnz, pz_ - cz)
+    elif with_tri:
+        nx, ny, nz = pnx, pny, pnz
+    else:
+        nx = px_ - cx
+        ny = py_ - cy
+        nz = pz_ - cz
+    ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+    front = nx * dx + ny * dy + nz * dz < 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+    kind = row[9]
+    method = row[10]
+    fuzz = row[11]
+    # Sanitize the two division sources against the all-zero rows that
+    # miss/idle lanes receive under the raw-index gather: a 0 scale or 0
+    # IOR never occurs on a REAL winner row (solid textures store scale 1,
+    # dielectrics a physical IOR), but 1/0 = inf here would poison the
+    # in-kernel VJP through Inf*0 even under the recorded-control masks.
+    # The floor must keep 1/x^2 (the division's VJP factor) finite in f32,
+    # hence 1e-6, orders of magnitude below any physical scale or IOR.
+    ior = jnp.maximum(row[12], 1e-6)
+    isc = 1.0 / jnp.maximum(row[13], 1e-6)
+    par = (jnp.floor(px_ * isc) + jnp.floor(py_ * isc)
+           + jnp.floor(pz_ * isc))
+    even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
+    alr = jnp.where(even_par, row[14], row[17])
+    alg = jnp.where(even_par, row[15], row[18])
+    alb = jnp.where(even_par, row[16], row[19])
+
+    # ---- diffuse ----
+    sx, sy, sz = ux * cb, uy * cb, uz * cb
+    flip = jnp.where(sx * nx + sy * ny + sz * nz > 0.0, 1.0, -1.0)
+    m0 = method == DIFFUSE_UNIT_SPHERE
+    m1 = method == DIFFUSE_UNIT_SPHERE_SURFACE
+    offx = jnp.where(m0, nx + sx, jnp.where(m1, nx + ux, sx * flip))
+    offy = jnp.where(m0, ny + sy, jnp.where(m1, ny + uy, sy * flip))
+    offz = jnp.where(m0, nz + sz, jnp.where(m1, nz + uz, sz * flip))
+    tgx, tgy, tgz = px_ + offx, py_ + offy, pz_ + offz
+    nz_tgt = ((jnp.abs(tgx) <= 1e-8) & (jnp.abs(tgy) <= 1e-8)
+              & (jnp.abs(tgz) <= 1e-8))
+    tgx = jnp.where(nz_tgt, nx, tgx)
+    tgy = jnp.where(nz_tgt, ny, tgy)
+    tgz = jnp.where(nz_tgt, nz, tgz)
+    difx, dify, difz = tgx - px_, tgy - py_, tgz - pz_
+
+    # ---- metallic ----
+    ddn = dx * nx + dy * ny + dz * nz
+    rfx = dx - 2.0 * ddn * nx
+    rfy = dy - 2.0 * ddn * ny
+    rfz = dz - 2.0 * ddn * nz
+    rinv = jax.lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz,
+                                     1e-24))
+    fz = jnp.minimum(fuzz, 1.0)
+    mex = rfx * rinv + fz * ux
+    mey = rfy * rinv + fz * uy
+    mez = rfz * rinv + fz * uz
+
+    # ---- dielectric ----
+    eta = jnp.where(front, 1.0 / ior, ior)
+    dinv = jax.lax.rsqrt(jnp.maximum(a, 1e-24))
+    udx, udy, udz = dx * dinv, dy * dinv, dz * dinv
+    cos_t = -(udx * nx + udy * ny + udz * nz)
+    sin_t = safe_sqrt(1.0 - cos_t * cos_t)
+    cannot = eta * sin_t > 1.0
+    r0 = (1.0 - eta) / (1.0 + eta)
+    r0 = r0 * r0
+    om = 1.0 - cos_t
+    om2 = om * om
+    refl_p = r0 + (1.0 - r0) * om2 * om2 * om
+    do_refl = cannot | (refl_p > us)
+    ppx = (udx + cos_t * nx) * eta
+    ppy = (udy + cos_t * ny) * eta
+    ppz = (udz + cos_t * nz) * eta
+    parm = -safe_sqrt(1.0 - (ppx * ppx + ppy * ppy + ppz * ppz))
+    dlx = jnp.where(do_refl, rfx, ppx + parm * nx)
+    dly = jnp.where(do_refl, rfy, ppy + parm * ny)
+    dlz = jnp.where(do_refl, rfz, ppz + parm * nz)
+
+    is_m = kind == float(MAT_METALLIC)
+    is_d = kind == float(MAT_DIELECTRIC)
+    ndirx = jnp.where(is_d, dlx, jnp.where(is_m, mex, difx))
+    ndiry = jnp.where(is_d, dly, jnp.where(is_m, mey, dify))
+    ndirz = jnp.where(is_d, dlz, jnp.where(is_m, mez, difz))
+    atr = jnp.where(is_d, 1.0, alr)
+    atg = jnp.where(is_d, 1.0, alg)
+    atb = jnp.where(is_d, 1.0, alb)
+
+    # ---- miss -> sky (reference's exact formula); miss is passed in from
+    # the idx plane (idx == -1 means recorded-active-but-missed) ----
+    sky_t = 0.5 * (dy * dinv + 1.0)
+    skyr = (1.0 - sky_t + 0.5) * sky_t
+    skyg = (1.0 - sky_t + 0.7) * sky_t
+    skyb = (1.0 - sky_t + 1.0) * sky_t
+    zf = jnp.zeros_like(thx)
+    out_add = (jnp.where(miss, thx * skyr, zf),
+               jnp.where(miss, thy * skyg, zf),
+               jnp.where(miss, thz * skyb, zf))
+
+    # state update gated by the RECORDED continue flag
+    new_st = (jnp.where(cont, px_, ox), jnp.where(cont, py_, oy),
+              jnp.where(cont, pz_, oz),
+              jnp.where(cont, ndirx, dx), jnp.where(cont, ndiry, dy),
+              jnp.where(cont, ndirz, dz), tau,
+              jnp.where(cont, thx * atr, thx),
+              jnp.where(cont, thy * atg, thy),
+              jnp.where(cont, thz * atb, thz))
+    return new_st, out_add
+
+
+def _fused_fwd_kernel(rows_ref, aux_ref, idx_ref, out_ref, st_out_ref,
+                      st_ref, acc_ref, *, kcfg):
+    """Grid = (tiles, K). Per step: write the entry state to HBM (for the
+    backward), run one replay iteration, accumulate radiance in VMEM; write
+    the radiance at the last iteration. Idle iterations (no recorded-active
+    slot in the tile) skip everything but the state write."""
+    it = pl.program_id(1)
+    iters = pl.num_programs(1)
+    f32 = jnp.float32
+    rs = st_ref.shape[1]
+    shape = (rs, 128)
+
+    @pl.when(it == 0)
+    def _init():
+        st_ref[...] = jnp.zeros(st_ref.shape, f32)
+        st_ref[5] = jnp.ones(shape, f32)  # placeholder non-zero direction
+        acc_ref[...] = jnp.zeros((3, rs, 128), f32)
+
+    idx = idx_ref[0]
+    any_live = jnp.any(idx >= -1)
+
+    @pl.when(any_live)
+    def _work():
+        st_out_ref[0] = st_ref[...]
+        st = tuple(st_ref[k] for k in range(_ST_ROWS))
+        row = tuple(rows_ref[0, k] for k in range(20))
+        aux = tuple(aux_ref[0, k] for k in range(_AUX_ROWS))
+        hit = idx >= 0
+        miss = idx == -1
+        is_tri = idx >= kcfg["n_sph_pad"]
+        new_st, out_add = _pp_step_c(
+            st, row, aux, hit, miss, is_tri, has_motion=kcfg["has_motion"],
+            with_sph=kcfg["with_sph"], with_tri=kcfg["with_tri"],
+            t_min=kcfg["t_min"])
+        for k in range(_ST_ROWS):
+            st_ref[k] = new_st[k]
+        acc_ref[0] += out_add[0]
+        acc_ref[1] += out_add[1]
+        acc_ref[2] += out_add[2]
+
+    @pl.when(it == iters - 1)
+    def _final():
+        out_ref[...] = acc_ref[...]
+
+
+def _fused_bwd_kernel(rows_ref, aux_ref, idx_ref, st_in_ref, g_ref,
+                      drows_ref, dst_ref, *, kcfg):
+    """Reverse walk of the fused replay (grid iteration t maps to replay
+    iteration K-1-t via the index maps). Recomputes the step from the stored
+    entry state and applies its VJP with jax.vjp — the step is elementwise,
+    so the transpose lowers to plain VPU ops. Cotangents: the radiance
+    cotangent g enters every iteration's out_add; the state cotangent is
+    carried in VMEM scratch; the winner-row cotangent is written per
+    iteration (the table cotangent is assembled outside by the gather's
+    transposed matmul)."""
+    t = pl.program_id(1)
+    f32 = jnp.float32
+    rs = dst_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _init():
+        dst_ref[...] = jnp.zeros(dst_ref.shape, f32)
+
+    idx = idx_ref[0]
+    any_live = jnp.any(idx >= -1)
+
+    @pl.when(jnp.logical_not(any_live))
+    def _idle():
+        drows_ref[...] = jnp.zeros(drows_ref.shape, f32)
+
+    @pl.when(any_live)
+    def _work():
+        st = tuple(st_in_ref[0, k] for k in range(_ST_ROWS))
+        row = tuple(rows_ref[0, k] for k in range(20))
+        aux = tuple(aux_ref[0, k] for k in range(_AUX_ROWS))
+        hit = idx >= 0
+        miss = idx == -1
+        is_tri = idx >= kcfg["n_sph_pad"]
+
+        def f(st, row):
+            return _pp_step_c(
+                st, row, aux, hit, miss, is_tri,
+                has_motion=kcfg["has_motion"], with_sph=kcfg["with_sph"],
+                with_tri=kcfg["with_tri"], t_min=kcfg["t_min"])
+
+        _, vjp = jax.vjp(f, st, row)
+        d_new_st = tuple(dst_ref[k] for k in range(_ST_ROWS))
+        d_out = (g_ref[0], g_ref[1], g_ref[2])
+        d_st, d_row = vjp((d_new_st, d_out))
+        for k in range(_ST_ROWS):
+            dst_ref[k] = d_st[k]
+        drows_ref[...] = jnp.zeros(drows_ref.shape, f32)
+        for k in range(20):
+            drows_ref[0, k] = d_row[k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_replay(rows4, aux4, idx3, kcfg, interpret):
+    """rows4 [K, 24(padded 20), nsub, 128] f32 (differentiable), aux4
+    [K, _AUX_ROWS+3 pad, nsub, 128], idx3 [K, nsub, 128] i32 -> radiance
+    [3, nsub, 128] (slot sums). ``kcfg`` is a hashable tuple-of-pairs."""
+    out, _ = _fused_replay_fwd_impl(rows4, aux4, idx3, kcfg, interpret)
+    return out
+
+
+def _fused_replay_fwd_impl(rows4, aux4, idx3, kcfg, interpret):
+    kc = dict(kcfg)
+    k_it, rows_pad, nsub, _ = rows4.shape
+    rs = kc["rs"]
+    n_tiles = nsub // rs
+    kern = functools.partial(_fused_fwd_kernel, kcfg=kc)
+    out, st_out = pl.pallas_call(
+        kern,
+        grid=(n_tiles, k_it),
+        in_specs=[
+            pl.BlockSpec((1, rows_pad, rs, 128), lambda i, t: (t, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, aux4.shape[1], rs, 128),
+                         lambda i, t: (t, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rs, 128), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((3, nsub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((k_it, _ST_ROWS + 6, nsub, 128),
+                                 jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((3, rs, 128), lambda i, t: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ST_ROWS + 6, rs, 128),
+                         lambda i, t: (t, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_ST_ROWS + 6, rs, 128), jnp.float32),
+            pltpu.VMEM((3, rs, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows4, aux4, idx3)
+    return out, st_out
+
+
+def _fused_replay_vjp_fwd(rows4, aux4, idx3, kcfg, interpret):
+    out, st_out = _fused_replay_fwd_impl(rows4, aux4, idx3, kcfg, interpret)
+    return out, (rows4, aux4, idx3, st_out)
+
+
+def _fused_replay_vjp_bwd(kcfg, interpret, res, g):
+    import numpy as _np
+
+    rows4, aux4, idx3, st_out = res
+    kc = dict(kcfg)
+    k_it, rows_pad, nsub, _ = rows4.shape
+    rs = kc["rs"]
+    n_tiles = nsub // rs
+    rev = k_it - 1
+    kern = functools.partial(_fused_bwd_kernel, kcfg=kc)
+    drows = pl.pallas_call(
+        kern,
+        grid=(n_tiles, k_it),
+        in_specs=[
+            pl.BlockSpec((1, rows_pad, rs, 128),
+                         lambda i, t: (rev - t, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, aux4.shape[1], rs, 128),
+                         lambda i, t: (rev - t, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rs, 128), lambda i, t: (rev - t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ST_ROWS + 6, rs, 128),
+                         lambda i, t: (rev - t, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rs, 128), lambda i, t: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((k_it, rows_pad, nsub, 128),
+                                       jnp.float32),
+        out_specs=pl.BlockSpec((1, rows_pad, rs, 128),
+                               lambda i, t: (rev - t, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_ST_ROWS + 6, rs, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows4, aux4, idx3, st_out, g)
+    # aux4 is float but flows from stop_gradient upstream: a real zero
+    # cotangent (DCE'd by XLA); idx3 is integer -> float0.
+    return (drows, jnp.zeros(aux4.shape, aux4.dtype),
+            _np.zeros(idx3.shape, jax.dtypes.float0))
+
+
+_fused_replay.defvjp(_fused_replay_vjp_fwd, _fused_replay_vjp_bwd)
+
+
+def replay_pp_fused(scene: Scene, idx, aux, *, t_min: float,
+                    tile_sublanes: int = 16, interpret=False) -> jnp.ndarray:
+    """Fused-kernel equivalent of :func:`replay_pp` (same estimator, same
+    gradients): gathers all winner rows once with :func:`gather_rows`
+    (differentiable in the table), then runs the Pallas forward/backward
+    iteration kernels. f32 only; off-TPU it runs under plain interpret."""
+    k_it, r = idx.shape
+    rs = tile_sublanes
+    nsub = r // 128
+    assert nsub % rs == 0, "caller must pad R to the tile size"
+    tab = _diff_tables(scene).astype(jnp.float32)
+    aux = jax.lax.stop_gradient(aux).astype(jnp.float32)
+
+    # RAW indices: negatives (miss -1 / idle -2) match no one-hot row ->
+    # zero rows, and all-idle 2048-lane blocks (which align 1:1 with the
+    # fused kernels' idle tile-iterations at rs=16) skip their matmul. The
+    # fused forward never READS an idle iteration's rows; live iterations
+    # consume miss lanes only under recorded-control selects whose
+    # not-taken branches stay finite for zero rows (floor and where have
+    # zero-gradient transposes, so no Inf*0 reaches the backward either).
+    i_flat = idx.reshape(-1)
+    # [20, K*R] (gather pads the lane dim up to its block size; slice back)
+    rowsT = gather_rows_T(tab, i_flat, bool(interpret))[:, :k_it * r]
+    # [20, K*R] -> [K, 24(pad), nsub, 128]: only LEADING-dim transposes
+    # (contiguous 64KB blocks), never the strided minor-dim one; the
+    # sublane dim of a kernel block must be 8-aligned, hence the pad.
+    rows4 = jnp.transpose(rowsT.reshape(20, k_it, nsub, 128), (1, 0, 2, 3))
+    rows4 = jnp.pad(rows4, ((0, 0), (0, 4), (0, 0), (0, 0)))
+    aux4 = jnp.pad(aux.reshape(k_it, _AUX_ROWS, nsub, 128),
+                   ((0, 0), (0, 3), (0, 0), (0, 0)))
+    idx3 = idx.reshape(k_it, nsub, 128)
+
+    kcfg = tuple(sorted({
+        "rs": rs,
+        "n_sph_pad": (int(scene.sphere_radius.shape[0])
+                      if scene.n_spheres > 0 else 0),
+        "with_sph": scene.n_spheres > 0,
+        "with_tri": scene.n_triangles > 0,
+        "has_motion": scene.has_motion,
+        "t_min": float(t_min),
+    }.items()))
+    out = _fused_replay(rows4, aux4, idx3, kcfg, bool(interpret))
+    return jnp.transpose(out, (1, 2, 0)).reshape(r, 3)

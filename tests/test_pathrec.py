@@ -216,3 +216,46 @@ def test_supports_pp_and_smem_gate():
     with pytest.raises(ValueError, match="SMEM"):
         render_diff_pp(big, _metal_scene()[1], 0,
                        rt.RenderConfig(spp=1, max_depth=2, jitter=False))
+
+
+def test_fused_replay_matches_scan():
+    """The fused Pallas replay (fwd + jax.vjp-inside-kernel bwd,
+    custom_vjp) must match the XLA scan replay to float tolerance on BOTH
+    the radiance and every gradient field, on a scene exercising all three
+    materials plus a triangle."""
+    from jax.experimental.pallas import tpu as pltpu
+    from rayz_tpu.ops.integrator import _pixel_grid
+    from rayz_tpu.ops.pathrec import replay_pp_fused
+
+    scene, cam = _mixed_scene(dtype=jnp.float32)
+    px, py = _pixel_grid(cam)
+    n = px.shape[0]
+    rs = max(1, min(16, -(-n // 128)))
+    pad = -(-n // (rs * 128)) * rs * 128 - n
+    pxp = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
+    pyp = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+    idx, aux, _ = record_pp(scene, cam, 3, pxp, pyp, n, spp=4, max_depth=6,
+                            t_min=1e-3, jitter=True, iters=24,
+                            tile_sublanes=rs,
+                            interpret=pltpu.InterpretParams())
+    r1 = replay_pp(scene, idx, aux, t_min=1e-3, interpret=True)
+    r2 = replay_pp_fused(scene, idx, aux, t_min=1e-3, tile_sublanes=rs,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+    from rayz_tpu.diff import inject_params
+    params = extract_params(scene)
+
+    def loss(p, fused):
+        rep = replay_pp_fused if fused else replay_pp
+        kw = dict(tile_sublanes=rs) if fused else {}
+        return jnp.sum(rep(inject_params(scene, p), idx, aux, t_min=1e-3,
+                           interpret=True, **kw)[:n] ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, False))(params)
+    g2 = jax.grad(lambda p: loss(p, True))(params)
+    for f in params:
+        a, b = np.asarray(g1[f]), np.asarray(g2[f])
+        assert np.isfinite(b).all(), f
+        np.testing.assert_allclose(b, a, atol=5e-4 * max(1.0, np.abs(a).max()),
+                                   err_msg=f)

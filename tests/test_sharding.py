@@ -128,3 +128,27 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_recorded_pp_matches_single_device():
+    """The persistent-path recorded engine on the mesh: sharded gradients
+    must agree with the single-device recorded-pp step. With the stubbed
+    (zero) interpret-mode PRNG and jitter off, both paths trace identical
+    deterministic samples, so loss and gradients match to float tolerance
+    regardless of the per-device key folding."""
+    scene, cam = rt.scenes.two_sphere(width=16, height=16, dtype=jnp.float32)
+    cfg = rt.RenderConfig(spp=2, max_depth=3, jitter=False)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    params = extract_params(scene, ("tex_color",))
+    opt = optax.adam(1e-2)
+    key = jax.random.PRNGKey(5)
+
+    step_1 = make_train_step(opt, cfg, None, engine="recorded-pp")
+    p1, _, l1 = step_1(params, opt.init(params), scene, cam, key, target)
+
+    step_m = make_train_step(opt, cfg, make_mesh(), engine="recorded-pp")
+    pm, _, lm = step_m(params, opt.init(params), scene, cam, key, target)
+
+    assert abs(float(l1) - float(lm)) < 1e-6
+    np.testing.assert_allclose(np.asarray(p1["tex_color"]),
+                               np.asarray(pm["tex_color"]), atol=1e-6)
