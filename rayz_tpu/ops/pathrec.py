@@ -133,7 +133,8 @@ def default_iters(spp: int, max_depth: int = 32) -> int:
 
 def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
                       spp: int, max_depth: int, t_min: float, jitter: bool,
-                      has_motion: bool, rs: int, unroll: int, iters: int):
+                      has_motion: bool, rs: int, unroll: int, iters: int,
+                      ig: int):
     """One grid step = one iteration of one tile of rs*128 persistent slots.
 
     Grid = (tiles, iters), iteration innermost so the VMEM scratch carries
@@ -155,12 +156,16 @@ def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
     i32 = jnp.int32
     shape = (rs, 128)
     tile = pl.program_id(0)
-    it = pl.program_id(1)
+    grp = pl.program_id(1)
+    # One grid step covers ``ig`` iterations (the iteration-group): at the
+    # exact budgets (K ~ 160) per-grid-step overhead dominates the idle
+    # tail, and grouping cuts it ig-fold while keeping the same skip
+    # granularity per sub-iteration.
     # Re-seeded every grid step (unlike the megakernel, whose while_loop
-    # keeps one stream per tile): the iteration index MUST be part of the
-    # seed or every iteration would replay the identical random sequence.
-    # Mosaic caps prng_seed at 2 values, so fold (tile, it) into one.
-    pltpu.prng_seed(seed_ref[0], tile * iters + it)
+    # keeps one stream per tile): the group index MUST be part of the seed
+    # or every group would replay the identical random sequence. Mosaic
+    # caps prng_seed at 2 values, so fold (tile, grp) into one.
+    pltpu.prng_seed(seed_ref[0], tile * (iters // ig) + grp)
 
     def uniform():
         bits = pltpu.prng_random_bits(shape)
@@ -178,13 +183,33 @@ def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
     slot = seed_ref[1] + (tile * rs + sub) * 128 + lane
     valid = slot < n_local
 
-    @pl.when(it == 0)
+    @pl.when(grp == 0)
     def _init():
         cnt_ref[0] = jnp.zeros(shape, i32)                       # depth left
         cnt_ref[1] = jnp.where(valid, spp, 0).astype(i32)        # samples
         cnt_ref[2] = jnp.zeros(shape, i32)                       # active
         st_ref[...] = jnp.zeros((7, rs, 128), f32)
 
+    for g in range(ig):
+        _record_one_iteration(
+            g, cam_ref, tab_ref, tri_ref, px_ref, py_ref, idx_ref, aux_ref,
+            st_ref, cnt_ref, uniform, unit3, valid, shape,
+            n_pad=n_pad, m_pad=m_pad, spp=spp, max_depth=max_depth,
+            t_min=t_min, jitter=jitter, has_motion=has_motion, rs=rs,
+            unroll=unroll)
+
+    @pl.when(grp == (iters // ig) - 1)
+    def _leftover():
+        # unfinished work: samples never spawned + the in-flight path (if any)
+        left_ref[...] = cnt_ref[1] + cnt_ref[2]
+
+
+def _record_one_iteration(g, cam_ref, tab_ref, tri_ref, px_ref, py_ref,
+                          idx_ref, aux_ref, st_ref, cnt_ref, uniform, unit3,
+                          valid, shape, *, n_pad, m_pad, spp, max_depth,
+                          t_min, jitter, has_motion, rs, unroll):
+    f32 = jnp.float32
+    i32 = jnp.int32
     depth = cnt_ref[0]
     samples = cnt_ref[1]
     active = cnt_ref[2] > 0
@@ -192,8 +217,8 @@ def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
 
     @pl.when(jnp.logical_not(any_work))
     def _idle():
-        idx_ref[0] = jnp.full(shape, -2, i32)
-        aux_ref[0] = jnp.zeros((_AUX_ROWS, rs, 128), f32)
+        idx_ref[g] = jnp.full(shape, -2, i32)
+        aux_ref[g] = jnp.zeros((_AUX_ROWS, rs, 128), f32)
 
     @pl.when(any_work)
     def _work():
@@ -243,13 +268,13 @@ def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
         active = active | spawn
         spf = spawn.astype(f32)
 
-        aux_ref[0, _AUX_OX] = jnp.where(spawn, ox, 0.0)
-        aux_ref[0, _AUX_OY] = jnp.where(spawn, oy, 0.0)
-        aux_ref[0, _AUX_OZ] = jnp.where(spawn, oz, 0.0)
-        aux_ref[0, _AUX_DX] = jnp.where(spawn, dx, 0.0)
-        aux_ref[0, _AUX_DY] = jnp.where(spawn, dy, 0.0)
-        aux_ref[0, _AUX_DZ] = jnp.where(spawn, dz, 0.0)
-        aux_ref[0, _AUX_TAU] = jnp.where(spawn, tau, 0.0)
+        aux_ref[g, _AUX_OX] = jnp.where(spawn, ox, 0.0)
+        aux_ref[g, _AUX_OY] = jnp.where(spawn, oy, 0.0)
+        aux_ref[g, _AUX_OZ] = jnp.where(spawn, oz, 0.0)
+        aux_ref[g, _AUX_DX] = jnp.where(spawn, dx, 0.0)
+        aux_ref[g, _AUX_DY] = jnp.where(spawn, dy, 0.0)
+        aux_ref[g, _AUX_DZ] = jnp.where(spawn, dz, 0.0)
+        aux_ref[g, _AUX_TAU] = jnp.where(spawn, tau, 0.0)
 
         # ---- nearest-hit sweep (megakernel one_sphere/one_triangle in
         # record form: carry q_best, winner center-or-normal, packed
@@ -369,11 +394,11 @@ def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
         ux, uy, uz = unit3()
         cb = jnp.exp(jnp.log(jnp.maximum(uniform(), 1e-24)) * (1.0 / 3.0))
         us = uniform()
-        aux_ref[0, _AUX_UX] = ux
-        aux_ref[0, _AUX_UY] = uy
-        aux_ref[0, _AUX_UZ] = uz
-        aux_ref[0, _AUX_CB] = cb
-        aux_ref[0, _AUX_US] = us
+        aux_ref[g, _AUX_UX] = ux
+        aux_ref[g, _AUX_UY] = uy
+        aux_ref[g, _AUX_UZ] = uz
+        aux_ref[g, _AUX_CB] = cb
+        aux_ref[g, _AUX_US] = us
 
         # ---- diffuse ----
         sx, sy, sz = ux * cb, uy * cb, uz * cb
@@ -435,9 +460,9 @@ def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
         scattered = ((~is_m) | metal_ok) & (nd2 > 1e-20)
 
         # ---- outputs: winner index (-1 active miss, -2 idle) + flags ----
-        idx_ref[0] = jnp.where(active, jnp.where(hit, bj, -1), -2)
+        idx_ref[g] = jnp.where(active, jnp.where(hit, bj, -1), -2)
         cont = active & hit & scattered & (depth > 1)
-        aux_ref[0, _AUX_FLG] = spf + 2.0 * cont.astype(f32)
+        aux_ref[g, _AUX_FLG] = spf + 2.0 * cont.astype(f32)
 
         st_ref[0] = jnp.where(cont, px_, ox)
         st_ref[1] = jnp.where(cont, py_, oy)
@@ -449,11 +474,6 @@ def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
         cnt_ref[0] = depth - cont.astype(i32)
         cnt_ref[1] = samples
         cnt_ref[2] = cont.astype(i32)
-
-    @pl.when(it == iters - 1)
-    def _leftover():
-        # unfinished work: samples never spawned + the in-flight path (if any)
-        left_ref[...] = cnt_ref[1] + cnt_ref[2]
 
 
 def record_pp(scene: Scene, camera: Camera, seed, px, py, n_local: int, *,
@@ -470,6 +490,8 @@ def record_pp(scene: Scene, camera: Camera, seed, px, py, n_local: int, *,
     nsub = r_pad // 128
     assert nsub * 128 == r_pad and nsub % rs == 0, "caller must pad R"
     n_tiles = nsub // rs
+    ig = 8 if iters >= 8 else 1  # iterations per grid step (see kernel)
+    iters = -(-iters // ig) * ig  # round UP: extra budget, never less
     if not fits_smem_record(scene):
         raise ValueError(
             "persistent-path record kernel: scene tables exceed the SMEM "
@@ -499,14 +521,15 @@ def record_pp(scene: Scene, camera: Camera, seed, px, py, n_local: int, *,
     kern = functools.partial(
         _record_pp_kernel, n_pad=n_pad, m_pad=m_pad, n_local=n_local,
         spp=spp, max_depth=max_depth, t_min=t_min, jitter=jitter,
-        has_motion=scene.has_motion, rs=rs, unroll=unroll, iters=iters)
+        has_motion=scene.has_motion, rs=rs, unroll=unroll, iters=iters,
+        ig=ig)
 
     n_tabs = (1 if n_pad else 0) + (1 if m_pad else 0)
     pix_spec = pl.BlockSpec((rs, 128), lambda i, t: (i, 0),
                             memory_space=pltpu.VMEM)
     idx, aux, left = pl.pallas_call(
         kern,
-        grid=(n_tiles, iters),
+        grid=(n_tiles, iters // ig),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 + n_tabs)
         + [pix_spec, pix_spec],
         out_shape=(
@@ -515,9 +538,9 @@ def record_pp(scene: Scene, camera: Camera, seed, px, py, n_local: int, *,
             jax.ShapeDtypeStruct((nsub, 128), jnp.int32),
         ),
         out_specs=(
-            pl.BlockSpec((1, rs, 128), lambda i, t: (t, i, 0),
+            pl.BlockSpec((ig, rs, 128), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _AUX_ROWS, rs, 128), lambda i, t: (t, 0, i, 0),
+            pl.BlockSpec((ig, _AUX_ROWS, rs, 128), lambda i, t: (t, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rs, 128), lambda i, t: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -837,27 +860,34 @@ def render_diff_pp(scene: Scene, camera: Camera, key,
 # to the indices and the gathered rows. The backward is the transposed
 # contraction accumulated across blocks in a VMEM scratch.
 
-_GATHER_LANES = 2048
+_GATHER_LANES = 8192   # lanes per grid step (4 sub-blocks)
+_GATHER_SUB = 2048     # one-hot sub-block (bounds VMEM and skip granularity)
 
 
 def _gather_fwd_kernel(tabT_ref, idx_ref, out_ref):
     # idx < 0 (miss/idle lanes) matches no one-hot row -> zero output; a
-    # block with NO valid index (an idle tile-iteration of the fused
-    # replay) skips the matmul entirely and writes zeros.
-    idx = idx_ref[0]
+    # 2048-lane sub-block with NO valid index (an idle tile-iteration of
+    # the fused replay) skips its matmul and writes zeros. Four sub-blocks
+    # per grid step amortize the per-step overhead that dominated at the
+    # exact replay budgets.
+    p_pad = tabT_ref.shape[1]
+    for s in range(_GATHER_LANES // _GATHER_SUB):
+        sl = pl.ds(s * _GATHER_SUB, _GATHER_SUB)
+        idx = idx_ref[0, 0, sl]
 
-    @pl.when(jnp.any(idx >= 0))
-    def _live():
-        iot = jax.lax.broadcasted_iota(jnp.int32, (tabT_ref.shape[1],
-                                                   idx_ref.shape[2]), 0)
-        oh = (iot == idx).astype(tabT_ref.dtype)
-        out_ref[...] = jnp.dot(tabT_ref[...], oh,
-                               preferred_element_type=tabT_ref.dtype,
-                               precision=jax.lax.Precision.HIGHEST)
+        @pl.when(jnp.any(idx >= 0))
+        def _live(idx=idx, sl=sl):
+            iot = jax.lax.broadcasted_iota(
+                jnp.int32, (p_pad, _GATHER_SUB), 0)
+            oh = (iot == idx[None, :]).astype(tabT_ref.dtype)
+            out_ref[:, sl] = jnp.dot(tabT_ref[...], oh,
+                                     preferred_element_type=tabT_ref.dtype,
+                                     precision=jax.lax.Precision.HIGHEST)
 
-    @pl.when(jnp.logical_not(jnp.any(idx >= 0)))
-    def _idle():
-        out_ref[...] = jnp.zeros(out_ref.shape, tabT_ref.dtype)
+        @pl.when(jnp.logical_not(jnp.any(idx >= 0)))
+        def _idle(sl=sl):
+            out_ref[:, sl] = jnp.zeros((out_ref.shape[0], _GATHER_SUB),
+                                       tabT_ref.dtype)
 
 
 def _gather_bwd_kernel(gT_ref, idx_ref, out_ref, acc_ref):
@@ -867,24 +897,23 @@ def _gather_bwd_kernel(gT_ref, idx_ref, out_ref, acc_ref):
     def _():
         acc_ref[...] = jnp.zeros(acc_ref.shape, gT_ref.dtype)
 
-    # an all-zero cotangent block (idle tile-iteration) contributes exactly
-    # nothing — skip its transposed matmul (~60% of blocks at the default
-    # replay budget)
-    live = (jnp.any(idx_ref[0] >= 0)
-            if idx_ref.shape[2] == gT_ref.shape[1]
-            else jnp.any(gT_ref[...] != 0.0))
+    # a sub-block with no valid index (idle tile-iteration -> all-zero
+    # cotangents) contributes exactly nothing — skip its transposed matmul
+    for s in range(_GATHER_LANES // _GATHER_SUB):
+        sl = pl.ds(s * _GATHER_SUB, _GATHER_SUB)
+        idx = idx_ref[0, 0, sl]
 
-    @pl.when(live)
-    def _():
-        iot = jax.lax.broadcasted_iota(jnp.int32, (out_ref.shape[1],
-                                                   idx_ref.shape[2]), 0)
-        oh = (iot == idx_ref[0]).astype(gT_ref.dtype)
-        # d_tabT[c, p] = sum_r gT[c, r] * oh[p, r] (contract on ray lanes)
-        acc_ref[...] += jax.lax.dot_general(
-            gT_ref[...], oh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=gT_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST)
+        @pl.when(jnp.any(idx >= 0))
+        def _(idx=idx, sl=sl):
+            iot = jax.lax.broadcasted_iota(
+                jnp.int32, (out_ref.shape[1], _GATHER_SUB), 0)
+            oh = (iot == idx[None, :]).astype(gT_ref.dtype)
+            # d_tabT[c, p] = sum_r gT[c, r] * oh[p, r] (ray-lane contract)
+            acc_ref[...] += jax.lax.dot_general(
+                gT_ref[:, sl], oh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=gT_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -1239,47 +1268,52 @@ def _pp_step_c(st, row, aux, hit, miss, is_tri, *, has_motion, with_sph,
     return new_st, out_add
 
 
+_FUSED_IG = 8  # replay iterations per grid step (amortizes step overhead)
+
+
 def _fused_fwd_kernel(rows_ref, aux_ref, idx_ref, out_ref, st_out_ref,
                       st_ref, acc_ref, *, kcfg):
-    """Grid = (tiles, K). Per step: write the entry state to HBM (for the
-    backward), run one replay iteration, accumulate radiance in VMEM; write
-    the radiance at the last iteration. Idle iterations (no recorded-active
-    slot in the tile) skip everything but the state write."""
-    it = pl.program_id(1)
-    iters = pl.num_programs(1)
+    """Grid = (tiles, K/_FUSED_IG); each step runs _FUSED_IG replay
+    iterations. Per iteration: write the entry state to HBM (for the
+    backward), run one replay step, accumulate radiance in VMEM; write the
+    radiance at the last group. Idle iterations (no recorded-active slot in
+    the tile) skip everything but the state write."""
+    grp = pl.program_id(1)
     f32 = jnp.float32
     rs = st_ref.shape[1]
     shape = (rs, 128)
+    ig = idx_ref.shape[0]
 
-    @pl.when(it == 0)
+    @pl.when(grp == 0)
     def _init():
         st_ref[...] = jnp.zeros(st_ref.shape, f32)
         st_ref[5] = jnp.ones(shape, f32)  # placeholder non-zero direction
         acc_ref[...] = jnp.zeros((3, rs, 128), f32)
 
-    idx = idx_ref[0]
-    any_live = jnp.any(idx >= -1)
+    for g in range(ig):
+        idx = idx_ref[g]
+        any_live = jnp.any(idx >= -1)
 
-    @pl.when(any_live)
-    def _work():
-        st_out_ref[0] = st_ref[...]
-        st = tuple(st_ref[k] for k in range(_ST_ROWS))
-        row = tuple(rows_ref[0, k] for k in range(20))
-        aux = tuple(aux_ref[0, k] for k in range(_AUX_ROWS))
-        hit = idx >= 0
-        miss = idx == -1
-        is_tri = idx >= kcfg["n_sph_pad"]
-        new_st, out_add = _pp_step_c(
-            st, row, aux, hit, miss, is_tri, has_motion=kcfg["has_motion"],
-            with_sph=kcfg["with_sph"], with_tri=kcfg["with_tri"],
-            t_min=kcfg["t_min"])
-        for k in range(_ST_ROWS):
-            st_ref[k] = new_st[k]
-        acc_ref[0] += out_add[0]
-        acc_ref[1] += out_add[1]
-        acc_ref[2] += out_add[2]
+        @pl.when(any_live)
+        def _work(g=g, idx=idx):
+            st_out_ref[:, g] = st_ref[...]
+            st = tuple(st_ref[k] for k in range(_ST_ROWS))
+            row = tuple(rows_ref[k, g] for k in range(20))
+            aux = tuple(aux_ref[g, k] for k in range(_AUX_ROWS))
+            hit = idx >= 0
+            miss = idx == -1
+            is_tri = idx >= kcfg["n_sph_pad"]
+            new_st, out_add = _pp_step_c(
+                st, row, aux, hit, miss, is_tri,
+                has_motion=kcfg["has_motion"], with_sph=kcfg["with_sph"],
+                with_tri=kcfg["with_tri"], t_min=kcfg["t_min"])
+            for k in range(_ST_ROWS):
+                st_ref[k] = new_st[k]
+            acc_ref[0] += out_add[0]
+            acc_ref[1] += out_add[1]
+            acc_ref[2] += out_add[2]
 
-    @pl.when(it == iters - 1)
+    @pl.when(grp == pl.num_programs(1) - 1)
     def _final():
         out_ref[...] = acc_ref[...]
 
@@ -1297,42 +1331,43 @@ def _fused_bwd_kernel(rows_ref, aux_ref, idx_ref, st_in_ref, g_ref,
     t = pl.program_id(1)
     f32 = jnp.float32
     rs = dst_ref.shape[1]
+    ig = idx_ref.shape[0]
 
     @pl.when(t == 0)
     def _init():
         dst_ref[...] = jnp.zeros(dst_ref.shape, f32)
 
-    idx = idx_ref[0]
-    any_live = jnp.any(idx >= -1)
+    for g in range(ig - 1, -1, -1):  # reverse within the (reversed) group
+        idx = idx_ref[g]
+        any_live = jnp.any(idx >= -1)
 
-    @pl.when(jnp.logical_not(any_live))
-    def _idle():
-        drows_ref[...] = jnp.zeros(drows_ref.shape, f32)
+        @pl.when(jnp.logical_not(any_live))
+        def _idle(g=g):
+            drows_ref[:, g] = jnp.zeros((drows_ref.shape[0], rs, 128), f32)
 
-    @pl.when(any_live)
-    def _work():
-        st = tuple(st_in_ref[0, k] for k in range(_ST_ROWS))
-        row = tuple(rows_ref[0, k] for k in range(20))
-        aux = tuple(aux_ref[0, k] for k in range(_AUX_ROWS))
-        hit = idx >= 0
-        miss = idx == -1
-        is_tri = idx >= kcfg["n_sph_pad"]
+        @pl.when(any_live)
+        def _work(g=g, idx=idx):
+            st = tuple(st_in_ref[k, g] for k in range(_ST_ROWS))
+            row = tuple(rows_ref[k, g] for k in range(20))
+            aux = tuple(aux_ref[g, k] for k in range(_AUX_ROWS))
+            hit = idx >= 0
+            miss = idx == -1
+            is_tri = idx >= kcfg["n_sph_pad"]
 
-        def f(st, row):
-            return _pp_step_c(
-                st, row, aux, hit, miss, is_tri,
-                has_motion=kcfg["has_motion"], with_sph=kcfg["with_sph"],
-                with_tri=kcfg["with_tri"], t_min=kcfg["t_min"])
+            def f(st, row):
+                return _pp_step_c(
+                    st, row, aux, hit, miss, is_tri,
+                    has_motion=kcfg["has_motion"], with_sph=kcfg["with_sph"],
+                    with_tri=kcfg["with_tri"], t_min=kcfg["t_min"])
 
-        _, vjp = jax.vjp(f, st, row)
-        d_new_st = tuple(dst_ref[k] for k in range(_ST_ROWS))
-        d_out = (g_ref[0], g_ref[1], g_ref[2])
-        d_st, d_row = vjp((d_new_st, d_out))
-        for k in range(_ST_ROWS):
-            dst_ref[k] = d_st[k]
-        drows_ref[...] = jnp.zeros(drows_ref.shape, f32)
-        for k in range(20):
-            drows_ref[0, k] = d_row[k]
+            _, vjp = jax.vjp(f, st, row)
+            d_new_st = tuple(dst_ref[k] for k in range(_ST_ROWS))
+            d_out = (g_ref[0], g_ref[1], g_ref[2])
+            d_st, d_row = vjp((d_new_st, d_out))
+            for k in range(_ST_ROWS):
+                dst_ref[k] = d_st[k]
+            for k in range(20):
+                drows_ref[k, g] = d_row[k]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -1346,32 +1381,33 @@ def _fused_replay(rows4, aux4, idx3, kcfg, interpret):
 
 def _fused_replay_fwd_impl(rows4, aux4, idx3, kcfg, interpret):
     kc = dict(kcfg)
-    k_it, rows_pad, nsub, _ = rows4.shape
+    n_cols, k_it, nsub, _ = rows4.shape
     rs = kc["rs"]
     n_tiles = nsub // rs
+    ig = _FUSED_IG if k_it % _FUSED_IG == 0 else 1
     kern = functools.partial(_fused_fwd_kernel, kcfg=kc)
     out, st_out = pl.pallas_call(
         kern,
-        grid=(n_tiles, k_it),
+        grid=(n_tiles, k_it // ig),
         in_specs=[
-            pl.BlockSpec((1, rows_pad, rs, 128), lambda i, t: (t, 0, i, 0),
+            pl.BlockSpec((n_cols, ig, rs, 128), lambda i, t: (0, t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, aux4.shape[1], rs, 128),
+            pl.BlockSpec((ig, aux4.shape[1], rs, 128),
                          lambda i, t: (t, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rs, 128), lambda i, t: (t, i, 0),
+            pl.BlockSpec((ig, rs, 128), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=(
             jax.ShapeDtypeStruct((3, nsub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((k_it, _ST_ROWS + 6, nsub, 128),
+            jax.ShapeDtypeStruct((_ST_ROWS + 6, k_it, nsub, 128),
                                  jnp.float32),
         ),
         out_specs=(
             pl.BlockSpec((3, rs, 128), lambda i, t: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _ST_ROWS + 6, rs, 128),
-                         lambda i, t: (t, 0, i, 0),
+            pl.BlockSpec((_ST_ROWS + 6, ig, rs, 128),
+                         lambda i, t: (0, t, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -1393,33 +1429,34 @@ def _fused_replay_vjp_bwd(kcfg, interpret, res, g):
 
     rows4, aux4, idx3, st_out = res
     kc = dict(kcfg)
-    k_it, rows_pad, nsub, _ = rows4.shape
+    n_cols, k_it, nsub, _ = rows4.shape
     rs = kc["rs"]
     n_tiles = nsub // rs
-    rev = k_it - 1
+    ig = _FUSED_IG if k_it % _FUSED_IG == 0 else 1
+    rev = k_it // ig - 1
     kern = functools.partial(_fused_bwd_kernel, kcfg=kc)
     drows = pl.pallas_call(
         kern,
-        grid=(n_tiles, k_it),
+        grid=(n_tiles, k_it // ig),
         in_specs=[
-            pl.BlockSpec((1, rows_pad, rs, 128),
+            pl.BlockSpec((n_cols, ig, rs, 128),
+                         lambda i, t: (0, rev - t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ig, aux4.shape[1], rs, 128),
                          lambda i, t: (rev - t, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, aux4.shape[1], rs, 128),
-                         lambda i, t: (rev - t, 0, i, 0),
+            pl.BlockSpec((ig, rs, 128), lambda i, t: (rev - t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rs, 128), lambda i, t: (rev - t, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _ST_ROWS + 6, rs, 128),
-                         lambda i, t: (rev - t, 0, i, 0),
+            pl.BlockSpec((_ST_ROWS + 6, ig, rs, 128),
+                         lambda i, t: (0, rev - t, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, rs, 128), lambda i, t: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=jax.ShapeDtypeStruct((k_it, rows_pad, nsub, 128),
+        out_shape=jax.ShapeDtypeStruct((n_cols, k_it, nsub, 128),
                                        jnp.float32),
-        out_specs=pl.BlockSpec((1, rows_pad, rs, 128),
-                               lambda i, t: (rev - t, 0, i, 0),
+        out_specs=pl.BlockSpec((n_cols, ig, rs, 128),
+                               lambda i, t: (0, rev - t, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((_ST_ROWS + 6, rs, 128), jnp.float32),
@@ -1456,15 +1493,14 @@ def replay_pp_fused(scene: Scene, idx, aux, *, t_min: float,
     # not-taken branches stay finite for zero rows (floor and where have
     # zero-gradient transposes, so no Inf*0 reaches the backward either).
     i_flat = idx.reshape(-1)
-    # [20, K*R] (gather pads the lane dim up to its block size; slice back)
+    # [20, K*R] (gather pads the lane dim up to its block size; slice
+    # back). The fused kernels consume this NATIVE layout viewed as
+    # [20, K, nsub, 128] — block alignment only constrains the trailing
+    # two dims, so no transpose and no pad is ever paid on the 670 MB of
+    # row data (the XLA transpose measured 44 ms per pass).
     rowsT = gather_rows_T(tab, i_flat, bool(interpret))[:, :k_it * r]
-    # [20, K*R] -> [K, 24(pad), nsub, 128]: only LEADING-dim transposes
-    # (contiguous 64KB blocks), never the strided minor-dim one; the
-    # sublane dim of a kernel block must be 8-aligned, hence the pad.
-    rows4 = jnp.transpose(rowsT.reshape(20, k_it, nsub, 128), (1, 0, 2, 3))
-    rows4 = jnp.pad(rows4, ((0, 0), (0, 4), (0, 0), (0, 0)))
-    aux4 = jnp.pad(aux.reshape(k_it, _AUX_ROWS, nsub, 128),
-                   ((0, 0), (0, 3), (0, 0), (0, 0)))
+    rows4 = rowsT.reshape(20, k_it, nsub, 128)
+    aux4 = aux.reshape(k_it, _AUX_ROWS, nsub, 128)
     idx3 = idx.reshape(k_it, nsub, 128)
 
     kcfg = tuple(sorted({

@@ -138,12 +138,23 @@ def check_grad_on_chip(width: int) -> bool:
     idx, aux, left = record_pp(
         scene, camera, 7, pxp, pyp, n, spp=2, max_depth=8, t_min=1e-3,
         jitter=True, iters=24, tile_sublanes=rs)
-    fields = ("tex_color", "sphere_center", "sphere_radius")
+    # FD direction restricted to fields with no DISCRETE response: a
+    # geometry perturbation moves hit points across checker-parity and
+    # hit/miss boundaries whose jump terms the FD secant includes but AD
+    # (correctly, a.e.) ignores — geometry gradients are FD-checked on
+    # frozen f64 recordings per-coordinate in tests/test_pathrec.py.
+    fields = ("tex_color", "mat_fuzz")
     params = extract_params(scene, fields)
+
+    from rayz_tpu.ops.pathrec import replay_pp_fused
 
     @jax.jit
     def loss(p):
-        rad = replay_pp(inject_params(scene, p), idx, aux, t_min=1e-3)
+        # the FUSED Pallas replay (custom_vjp with jax.vjp inside the
+        # backward kernel) — so this FD check exercises the production
+        # backward end to end on real hardware
+        rad = replay_pp_fused(inject_params(scene, p), idx, aux, t_min=1e-3,
+                              tile_sublanes=rs)
         return jnp.sum(rad[:n] ** 2)
 
     grads = jax.jit(jax.grad(loss))(params)
@@ -159,7 +170,7 @@ def check_grad_on_chip(width: int) -> bool:
     rel = abs(fd - gdotv) / max(1.0, abs(fd), abs(gdotv))
     finite = all(bool(jnp.isfinite(grads[f]).all()) for f in fields)
     ok = rel < 5e-2 and finite and int(jax.device_get(jnp.sum(left))) >= 0
-    print(f"{'OK  ' if ok else 'FAIL'} grad_on_chip      ad.v={gdotv:.5g} "
+    print(f"{'OK  ' if ok else 'FAIL'} grad_on_chip(fused) ad.v={gdotv:.5g} "
           f"fd={fd:.5g} rel={rel:.4f} tol=0.05")
     return ok
 

@@ -24,3 +24,18 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the XLA CPU compiler's cumulative memory: with 110+ tests in one
+    process (several compiling large fused Pallas-interpret programs), the
+    full suite deterministically segfaulted inside backend_compile around
+    test #102 while module subsets passed — dropping compiled executables
+    between modules keeps the process under the cliff. Costs nothing across
+    modules (they share almost no jit signatures)."""
+    yield
+    jax.clear_caches()
