@@ -864,13 +864,36 @@ _GATHER_LANES = 8192   # lanes per grid step (4 sub-blocks)
 _GATHER_SUB = 2048     # one-hot sub-block (bounds VMEM and skip granularity)
 
 
+def _bf16_split3(x):
+    """x == t1 + t2 + t3 with each term bf16-representable (stored f32):
+    contracting the terms against an EXACT bf16 one-hot at DEFAULT (single
+    bf16-pass) MXU precision reproduces the f32 gather to f32 rounding —
+    the residual after three bf16 splits is <= 2^-24 relative — at half
+    the cost of a HIGHEST (six-pass) f32 matmul."""
+    f32 = x.dtype
+    t1 = x.astype(jnp.bfloat16)
+    r1 = x - t1.astype(f32)
+    t2 = r1.astype(jnp.bfloat16)
+    t3 = (r1 - t2.astype(f32)).astype(jnp.bfloat16)
+    return t1, t2, t3
+
+
+def _split_dot(terms, oh_b, f32):
+    acc = jnp.dot(terms[0], oh_b, preferred_element_type=f32)
+    for t in terms[1:]:
+        acc += jnp.dot(t, oh_b, preferred_element_type=f32)
+    return acc
+
+
 def _gather_fwd_kernel(tabT_ref, idx_ref, out_ref):
     # idx < 0 (miss/idle lanes) matches no one-hot row -> zero output; a
     # 2048-lane sub-block with NO valid index (an idle tile-iteration of
     # the fused replay) skips its matmul and writes zeros. Four sub-blocks
     # per grid step amortize the per-step overhead that dominated at the
     # exact replay budgets.
+    f32 = tabT_ref.dtype
     p_pad = tabT_ref.shape[1]
+    terms = _bf16_split3(tabT_ref[...])
     for s in range(_GATHER_LANES // _GATHER_SUB):
         sl = pl.ds(s * _GATHER_SUB, _GATHER_SUB)
         idx = idx_ref[0, 0, sl]
@@ -879,15 +902,12 @@ def _gather_fwd_kernel(tabT_ref, idx_ref, out_ref):
         def _live(idx=idx, sl=sl):
             iot = jax.lax.broadcasted_iota(
                 jnp.int32, (p_pad, _GATHER_SUB), 0)
-            oh = (iot == idx[None, :]).astype(tabT_ref.dtype)
-            out_ref[:, sl] = jnp.dot(tabT_ref[...], oh,
-                                     preferred_element_type=tabT_ref.dtype,
-                                     precision=jax.lax.Precision.HIGHEST)
+            oh_b = (iot == idx[None, :]).astype(jnp.bfloat16)
+            out_ref[:, sl] = _split_dot(terms, oh_b, f32)
 
         @pl.when(jnp.logical_not(jnp.any(idx >= 0)))
         def _idle(sl=sl):
-            out_ref[:, sl] = jnp.zeros((out_ref.shape[0], _GATHER_SUB),
-                                       tabT_ref.dtype)
+            out_ref[:, sl] = jnp.zeros((out_ref.shape[0], _GATHER_SUB), f32)
 
 
 def _gather_bwd_kernel(gT_ref, idx_ref, out_ref, acc_ref):
@@ -905,15 +925,17 @@ def _gather_bwd_kernel(gT_ref, idx_ref, out_ref, acc_ref):
 
         @pl.when(jnp.any(idx >= 0))
         def _(idx=idx, sl=sl):
+            f32 = gT_ref.dtype
             iot = jax.lax.broadcasted_iota(
                 jnp.int32, (out_ref.shape[1], _GATHER_SUB), 0)
-            oh = (iot == idx[None, :]).astype(gT_ref.dtype)
-            # d_tabT[c, p] = sum_r gT[c, r] * oh[p, r] (ray-lane contract)
-            acc_ref[...] += jax.lax.dot_general(
-                gT_ref[:, sl], oh,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=gT_ref.dtype,
-                precision=jax.lax.Precision.HIGHEST)
+            oh_b = (iot == idx[None, :]).astype(jnp.bfloat16)
+            # d_tabT[c, p] = sum_r gT[c, r] * oh[p, r] (ray-lane contract);
+            # same bf16-split-vs-exact-one-hot identity as the forward
+            dn = (((1,), (1,)), ((), ()))
+            for t in _bf16_split3(gT_ref[:, sl]):
+                acc_ref[...] += jax.lax.dot_general(
+                    t, oh_b, dimension_numbers=dn,
+                    preferred_element_type=f32)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
