@@ -109,8 +109,9 @@ def main() -> None:
     # Microbatched gradient accumulation: one spp=MICRO graph reused
     # SPP/MICRO times per measurement (standard large-batch training shape;
     # also keeps each device call short for the tunneled platform, whose RPC
-    # dies on multi-ten-second executions).
-    MICRO = 8
+    # dies on multi-ten-second executions). MICRO=32 amortizes the
+    # compaction passes best (measured 13.4 @ spp8 vs 18.1 @ spp32).
+    MICRO = 32
     micro_cfg = rt.RenderConfig(spp=MICRO, max_depth=DEPTH, t_min=1e-3)
     target = jax.device_put(run_fwd(0))
     params = extract_params(scene)
@@ -122,7 +123,7 @@ def main() -> None:
                                  return_leftover=True)
     leftover = int(jax.device_get(leftover))
     assert leftover == 0, (
-        f"iteration budget {default_iters(MICRO, DEPTH)} truncated "
+        "straggler-compaction schedule truncated "
         f"{leftover} samples; raise iters")
 
     def run_fwdbwd(seed: int):

@@ -83,35 +83,55 @@ def inject_params(scene: Scene, params: Dict[str, jnp.ndarray]) -> Scene:
 
 
 def pixel_loss(params, scene: Scene, camera: Camera, key, target,
-               config: RenderConfig, engine: str = "dense"):
+               config: RenderConfig, engine: str = "dense",
+               iters: Optional[int] = None, return_leftover: bool = False):
     """Mean squared pixel error of a fresh stochastic render vs target.
 
     ``engine``: "dense" differentiates through the full scan integrator
     (any scene; O(R*N) backward); "recorded" uses the bounce-indexed Pallas
     record + O(R) XLA replay estimator (:func:`rayz_tpu.ops.render_diff`);
     "recorded-pp" uses the persistent-path recorder
-    (:func:`rayz_tpu.ops.render_diff_pp`) — the fastest backward, with the
-    static iteration budget documented in :mod:`rayz_tpu.ops.pathrec`. A
-    recorded request on a scene whose tables exceed the record kernel's
-    SMEM budget (~13k primitives) degrades to "dense" — the same dispatch
-    discipline as ``pick_engine("auto")`` (engine.py:25-34) — rather than
-    failing inside Mosaic.
+    (:func:`rayz_tpu.ops.render_diff_pp`) — the fastest backward. Its
+    default budget self-repairs via straggler compaction
+    (:mod:`rayz_tpu.ops.pathrec`); ``iters`` overrides the recording budget
+    (e.g. ``spp*max_depth`` for the single-pass hard guarantee), and
+    ``return_leftover=True`` returns ``(loss, leftover)`` where leftover is
+    the number of samples the budget truncated (0 unless the compaction
+    capacity overflows) — nonzero leftover means loss AND gradients are
+    biased low, so callers that cannot tolerate bias must check it
+    (:func:`fit` does, and raises). A recorded request on a scene whose
+    tables exceed the record kernel's SMEM budget (~13k primitives)
+    degrades to "dense" — the same dispatch discipline as
+    ``pick_engine("auto")`` (engine.py:25-34) — rather than failing inside
+    Mosaic.
     """
     fitted = inject_params(scene, params)
     recordable = fits_smem_record(scene) and supports_diff(scene)
+    leftover = jnp.zeros((), jnp.int32)
     if engine == "recorded-pp" and recordable:
-        img = render_diff_pp(fitted, camera, key, config)
+        img, leftover = render_diff_pp(fitted, camera, key, config,
+                                       iters=iters, return_leftover=True)
     elif engine == "recorded" and recordable:
         img = render_diff(fitted, camera, key, config)
     else:
         img = render(fitted, camera, key, config)
-    return jnp.mean((img - target.reshape(img.shape)) ** 2)
+    loss = jnp.mean((img - target.reshape(img.shape)) ** 2)
+    if return_leftover:
+        return loss, leftover
+    return loss
 
 
 def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfig,
-                    mesh: Optional[Mesh] = None, engine: str = "dense"):
+                    mesh: Optional[Mesh] = None, engine: str = "dense",
+                    iters: Optional[int] = None, strict: bool = False,
+                    with_leftover: bool = False):
     """Build a jitted Adam/SGD step: (params, opt_state, scene, camera, key,
-    target) -> (params, opt_state, loss).
+    target) -> (params, opt_state, loss) — or with ``with_leftover=True``
+    (params, opt_state, loss, leftover), where leftover counts the samples
+    the recorded-pp budget truncated (always 0 for the other engines; see
+    :func:`pixel_loss`). ``iters`` overrides the recording budget;
+    ``strict=True`` forces the single-pass exhaustive ``spp*max_depth``
+    budget, which can never truncate.
 
     With a mesh, pixels+target are sharded across devices, each device
     renders + backprops its shard, and the parameter gradient is psum-reduced
@@ -122,15 +142,23 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
     """
     if engine not in ("dense", "recorded", "recorded-pp"):
         raise ValueError(f"unknown engine {engine!r}")
+    if strict:
+        if iters is not None:
+            raise ValueError("pass either iters or strict=True, not both")
+        iters = config.spp * config.max_depth
     if mesh is None:
 
         @jax.jit
         def step(params, opt_state, scene, camera, key, target):
-            loss, grads = jax.value_and_grad(pixel_loss)(
-                params, scene, camera, key, target, config, engine
+            (loss, leftover), grads = jax.value_and_grad(
+                pixel_loss, has_aux=True)(
+                params, scene, camera, key, target, config, engine,
+                iters, True
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if with_leftover:
+                return params, opt_state, loss, leftover
             return params, opt_state, loss
 
         return step
@@ -143,14 +171,16 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
         def local_loss(p):
             fitted = inject_params(scene, p)
             recordable = fits_smem_record(scene) and supports_diff(scene)
+            left = jnp.zeros((), jnp.int32)
             if engine == "recorded-pp" and recordable:
                 dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
                 from jax.experimental.pallas import tpu as pltpu
                 kint = pltpu.InterpretParams() if interp else False
-                img = render_diff_pp_flat(
+                img, left = render_diff_pp_flat(
                     fitted, camera, dkey, px, py, spp=config.spp,
                     max_depth=config.max_depth, t_min=config.t_min,
-                    jitter=config.jitter, interpret=kint)
+                    jitter=config.jitter, interpret=kint, iters=iters,
+                    return_leftover=True)
             elif engine == "recorded" and recordable:
                 dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
                 img = render_diff_flat(
@@ -159,16 +189,17 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
                     jitter=config.jitter, interpret=interp)
             else:
                 img = _render_shard(fitted, camera, key, px, py, config, axis)
-            return jnp.sum(weight[:, None] * (img - tgt) ** 2)
+            return jnp.sum(weight[:, None] * (img - tgt) ** 2), left
 
-        l, g = jax.value_and_grad(local_loss)(params)
-        return jax.lax.psum(l, axis), jax.lax.psum(g, axis)
+        (l, left), g = jax.value_and_grad(local_loss, has_aux=True)(params)
+        return (jax.lax.psum(l, axis), jax.lax.psum(g, axis),
+                jax.lax.psum(left, axis))
 
     sharded_lg = _shard_map(
         _loss_grad_shard,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         # pallas_call outputs carry no varying-manual-axes info, so the vma
         # checker cannot verify the recorded body; it is collective-free
         # except the final psums.
@@ -192,7 +223,8 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
             # padding pixels render real values but must not contribute loss
             # or gradient — weight them to zero.
             weight = jnp.concatenate([weight, jnp.zeros((pad,), weight.dtype)])
-        loss_sum, grads = sharded_lg(params, scene, camera, key, px, py, tgt, weight)
+        loss_sum, grads, leftover = sharded_lg(
+            params, scene, camera, key, px, py, tgt, weight)
         # per-shard losses are SUMS (psum-reducible); normalize loss AND
         # grads to the MEAN so step sizes match the single-device pixel_loss
         # exactly (same lr semantics on and off the mesh).
@@ -201,6 +233,8 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
         grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if with_leftover:
+            return params, opt_state, loss, leftover
         return params, opt_state, loss
 
     return step
@@ -211,11 +245,18 @@ def fit(scene: Scene, camera: Camera, target, *, config: RenderConfig,
         fields: Sequence[str] = DEFAULT_TRAINABLE,
         mesh: Optional[Mesh] = None, key=None,
         callback=None, engine: str = "dense",
+        iters: Optional[int] = None, strict: bool = False,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 50) -> Tuple[Scene, list]:
     """Run Adam on pixel L2 against ``target``; returns (fitted scene,
     loss history). ``engine`` as in :func:`pixel_loss`, honored on both the
-    single-device and the mesh path.
+    single-device and the mesh path. With ``engine="recorded-pp"`` every
+    step's ``leftover`` counter is checked on the host: a nonzero value
+    (recording budget truncated samples even after straggler compaction —
+    biased loss AND gradients) raises ``RuntimeError`` with the measured
+    deficit instead of silently training on it; raise ``iters`` (recording
+    budget) or pass ``strict=True`` (exhaustive single-pass budget, can
+    never truncate) to proceed on such scenes.
 
     With ``checkpoint_dir``, the trainable params + optimizer state + RNG key
     are saved (orbax, :mod:`rayz_tpu.diff.checkpoint`) every
@@ -247,11 +288,26 @@ def fit(scene: Scene, camera: Camera, target, *, config: RenderConfig,
             opt_state = st["opt_state"]
             key = jnp.asarray(st["key"])
             start = int(st["step"])
-    step_fn = make_train_step(optimizer, config, mesh, engine=engine)
+    check_left = engine == "recorded-pp"
+    step_fn = make_train_step(optimizer, config, mesh, engine=engine,
+                              iters=iters, strict=strict,
+                              with_leftover=check_left)
     history = []
     for i in range(start, steps):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step_fn(params, opt_state, scene, camera, sub, target)
+        out = step_fn(params, opt_state, scene, camera, sub, target)
+        if check_left:
+            params, opt_state, loss, leftover = out
+            leftover = int(leftover)
+            if leftover:
+                raise RuntimeError(
+                    f"fit step {i}: recording budget truncated {leftover} "
+                    f"of {camera.height * camera.width * config.spp} samples "
+                    "even after straggler compaction — loss/gradients would "
+                    "be biased. Raise iters= (recording budget) or pass "
+                    "strict=True for the exhaustive single-pass budget.")
+        else:
+            params, opt_state, loss = out
         history.append(float(loss))
         if callback is not None:
             callback(i, float(loss), params)

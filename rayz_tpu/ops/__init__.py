@@ -4,7 +4,7 @@ from .shade import scatter, schlick_reflectance, sky_color, texture_value
 from .megakernel import (render_pallas, render_pallas_sharded, scene_tables,
                          supports_scene)
 from .diffkernel import record_paths, render_diff, replay_paths, supports_diff
-from .pathrec import (default_iters, gather_rows, record_pp, render_diff_pp,
+from .pathrec import (default_iters, default_k1, gather_rows, record_pp, render_diff_pp,
                       render_diff_pp_flat, replay_pp, supports_pp)
 from .engine import pick_engine, render_fast
 
@@ -21,6 +21,7 @@ __all__ = [
     "replay_pp",
     "gather_rows",
     "default_iters",
+    "default_k1",
     "supports_pp",
     "supports_diff",
     "record_paths",

@@ -32,19 +32,27 @@ that makes the backward O(rays) instead of O(rays x primitives):
   radii/velocities, triangle vertices, texture colors, fuzz, and IOR —
   the same surface as diffkernel.replay_paths.
 
-Iteration budget (the one estimator caveat)
--------------------------------------------
+Iteration budget and straggler compaction
+-----------------------------------------
 K is static. A slot that has not finished its spp samples within K
 iterations truncates its remaining work: an in-flight path contributes the
 radiance accumulated so far (as if absorbed — the reference's own
 depth-exhausted semantics, renderer.zig:104-105, at an earlier effective
 depth) and unspawned samples contribute black. The kernel reports the number
-of unfinished samples per slot (``leftover``); with the default budget
-(``default_iters``) leftover is zero on every benchmark scene (asserted in
-tests and in bench.py), and callers needing a hard guarantee can pass
-``iters = spp * max_depth``. This is the TPU-native price of recording a
-respawning schedule with static shapes; the bounce-indexed estimator
-(diffkernel.py) remains available and budget-free.
+of unfinished samples per slot (``leftover``).
+
+The DEFAULT path (``iters=None``) eliminates the truncation in two passes:
+record at a lean K1 (``default_k1``, ~99.5% of samples finish), then gather
+the unfinished slots into a compact array (1/8 the slots) and RESUME their
+recording — the kernel restarts from the saved per-slot ray state and
+counters — with the exhaustive ``spp*max_depth`` budget; the compact
+radiance scatter-adds back. Leftover is zero for ANY scene unless more
+slots straggle than the compact capacity (an enclosure at high spp) —
+never silently: the training API surfaces the deficit and ``fit`` raises.
+Passing ``iters`` explicitly keeps the single-pass estimator, and
+``iters = spp * max_depth`` remains the budget-free hard guarantee. The
+bounce-indexed estimator (diffkernel.py) also remains available and
+budget-free.
 
 Matches /root/reference/src/renderer.zig:72-126 (the loop being
 differentiated) like the rest of the renderer stack.
@@ -104,7 +112,8 @@ from .megakernel import (
 )
 
 __all__ = ["render_diff_pp", "render_diff_pp_flat", "record_pp", "replay_pp",
-           "replay_pp_fused", "gather_rows", "gather_rows_T", "default_iters", "supports_pp"]
+           "replay_pp_fused", "gather_rows", "gather_rows_T", "default_iters",
+           "default_k1", "supports_pp"]
 
 # aux plane rows (per iteration, per slot)
 _AUX_UX, _AUX_UY, _AUX_UZ, _AUX_CB, _AUX_US = 0, 1, 2, 3, 4  # scatter randoms
@@ -122,36 +131,90 @@ def supports_pp(scene: Scene) -> bool:
 
 
 def default_iters(spp: int, max_depth: int = 32) -> int:
-    """Default iteration budget: 4x the sample count plus 4 full-depth paths
-    of headroom for the straggler tail, capped at the exhaustive
+    """SINGLE-PASS iteration budget: 4x the sample count plus 4 full-depth
+    paths of headroom for the straggler tail, capped at the exhaustive
     spp*max_depth bound (which makes spp=1 always exact). Measured on the
     flagship scene (spp 8, depth 32 -> 160): leftover == 0; the tail curve
     is 64 -> 10369, 96 -> 412, 128 -> 17, 160 -> 0 truncated samples of
-    2.1M (glass-interior pixels run ~19 bounces/sample)."""
+    2.1M (glass-interior pixels run ~19 bounces/sample). The default path
+    (``iters=None``) no longer pays this tail: it records at
+    :func:`default_k1` and finishes the stragglers in a compacted second
+    pass (see :func:`render_diff_pp_flat`)."""
     return min(spp * max_depth, 4 * spp + 4 * max_depth)
+
+
+def default_k1(spp: int, max_depth: int = 32) -> int:
+    """First-pass budget for straggler compaction: 3.5x the sample count —
+    just above the mean iterations per slot on sky-heavy scenes (measured
+    3.2x on the flagship; the half-capacity second pass absorbs the up-to-
+    50% of slots left unfinished) — floored at 16 and capped at the
+    exhaustive bound. Swept on-chip at spp 32: k1 = 4.0/3.5/3.0x spp ->
+    17.2/18.1/overflow Mrays/s fwd+bwd."""
+    return min(spp * max_depth, max(16, (7 * spp) // 2))
+
+
+def default_schedule(spp: int, max_depth: int, r_pad: int,
+                     block: int) -> list:
+    """Compaction pass schedule [(iters, capacity), ...]. A slot is never
+    idle while it has work (respawn is immediate), so a slot entering pass
+    j has already consumed sum(k_1..k_{j-1}) iterations and the budgets
+    only need to SUM to spp*max_depth for the per-slot hard guarantee.
+
+    Default: a lean full-width pass (4*spp — most slots finish), a
+    depth-length pass at half capacity (the broad tail), and the remainder
+    at 1/16 capacity (the deep tail: flagship measures 1.9% of slots
+    unfinished after the first two passes, so 1/16 is 3x headroom).
+    Measured straggler curve (flagship, spp 8 depth 32, 262144 slots):
+    K=16 -> 188580 straggler slots, 24 -> 122457, 32 -> 68146,
+    48 -> 23201, 64 -> 5066, 160 -> 0."""
+    def cblk(x):
+        return max(block, min(-(-x // block) * block, r_pad))
+
+    k_exh = spp * max_depth
+    k1 = default_k1(spp, max_depth)
+    sch = [(k1, r_pad)]
+    used = k1
+    if used < k_exh:
+        k2 = min(k_exh - used, max(k1, max_depth))
+        sch.append((k2, cblk(r_pad // 2)))
+        used += k2
+    if used < k_exh:
+        sch.append((k_exh - used, cblk(r_pad // 16)))
+    return sch
 
 
 def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
                       spp: int, max_depth: int, t_min: float, jitter: bool,
                       has_motion: bool, rs: int, unroll: int, iters: int,
-                      ig: int):
+                      ig: int, resume: bool, want_state: bool):
     """One grid step = one iteration of one tile of rs*128 persistent slots.
 
     Grid = (tiles, iters), iteration innermost so the VMEM scratch carries
     ray state across iterations of a tile. Positional refs: cam [18] SMEM,
     seed [2] SMEM (seed, slot offset), the sphere table iff n_pad, the
     triangle table iff m_pad, px/py [nsub,128] VMEM pixel coordinates, then
-    outputs idx [1, rs, 128] i32, aux [1, _AUX_ROWS, rs, 128] f32,
-    leftover [rs, 128] i32 (written on the last iteration), and scratch
-    st [7, rs, 128] f32 (o,d,tau), cnt [3, rs, 128] i32 (depth, samples,
-    active).
+    (``resume`` only) st_in [7, rs, 128] f32 / cnt_in [3, rs, 128] i32
+    initial per-slot state, then outputs idx [1, rs, 128] i32, aux
+    [1, _AUX_ROWS, rs, 128] f32, leftover [rs, 128] i32 (written on the
+    last iteration), (``want_state`` only) st_out/cnt_out final state, and
+    scratch st [7, rs, 128] f32 (o,d,tau), cnt [3, rs, 128] i32 (depth,
+    samples, active).
     """
     refs = list(args)
     cam_ref = refs.pop(0)
     seed_ref = refs.pop(0)
     tab_ref = refs.pop(0) if n_pad else None
     tri_ref = refs.pop(0) if m_pad else None
-    px_ref, py_ref, idx_ref, aux_ref, left_ref, st_ref, cnt_ref = refs
+    px_ref = refs.pop(0)
+    py_ref = refs.pop(0)
+    st_in_ref = refs.pop(0) if resume else None
+    cnt_in_ref = refs.pop(0) if resume else None
+    idx_ref = refs.pop(0)
+    aux_ref = refs.pop(0)
+    left_ref = refs.pop(0)
+    st_out_ref = refs.pop(0) if want_state else None
+    cnt_out_ref = refs.pop(0) if want_state else None
+    st_ref, cnt_ref = refs
     f32 = jnp.float32
     i32 = jnp.int32
     shape = (rs, 128)
@@ -185,10 +248,17 @@ def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
 
     @pl.when(grp == 0)
     def _init():
-        cnt_ref[0] = jnp.zeros(shape, i32)                       # depth left
-        cnt_ref[1] = jnp.where(valid, spp, 0).astype(i32)        # samples
-        cnt_ref[2] = jnp.zeros(shape, i32)                       # active
-        st_ref[...] = jnp.zeros((7, rs, 128), f32)
+        if resume:
+            # continue exactly where a prior recording stopped: the in-
+            # flight ray (st) and the (depth-left, samples, active) counters
+            # of each slot come from the caller (straggler compaction).
+            st_ref[...] = st_in_ref[...]
+            cnt_ref[...] = cnt_in_ref[...]
+        else:
+            cnt_ref[0] = jnp.zeros(shape, i32)                   # depth left
+            cnt_ref[1] = jnp.where(valid, spp, 0).astype(i32)    # samples
+            cnt_ref[2] = jnp.zeros(shape, i32)                   # active
+            st_ref[...] = jnp.zeros((7, rs, 128), f32)
 
     for g in range(ig):
         _record_one_iteration(
@@ -202,6 +272,9 @@ def _record_pp_kernel(*args, n_pad: int, m_pad: int, n_local: int,
     def _leftover():
         # unfinished work: samples never spawned + the in-flight path (if any)
         left_ref[...] = cnt_ref[1] + cnt_ref[2]
+        if want_state:
+            st_out_ref[...] = st_ref[...]
+            cnt_out_ref[...] = cnt_ref[...]
 
 
 def _record_one_iteration(g, cam_ref, tab_ref, tri_ref, px_ref, py_ref,
@@ -479,12 +552,17 @@ def _record_one_iteration(g, cam_ref, tab_ref, tri_ref, px_ref, py_ref,
 def record_pp(scene: Scene, camera: Camera, seed, px, py, n_local: int, *,
               spp: int, max_depth: int, t_min: float, jitter: bool,
               iters: int, tile_sublanes: int = 16, unroll: int = 8,
-              interpret=False):
+              interpret=False, init_state=None, want_state: bool = False):
     """Run the persistent-path record kernel over ``n_local`` slots whose
     pixel coordinates are ``px``/``py`` (flat [R_pad] f32, padded to
     tile_sublanes*128). Returns (idx [iters, R_pad] i32, aux
-    [iters, _AUX_ROWS, R_pad] f32, leftover [R_pad] i32). Non-differentiable
-    by construction (tables pass through stop_gradient)."""
+    [iters, _AUX_ROWS, R_pad] f32, leftover [R_pad] i32); with
+    ``want_state=True`` additionally returns the final per-slot state
+    ``(st [7, R_pad] f32, cnt [3, R_pad] i32)``. Passing that state back as
+    ``init_state`` RESUMES the recording exactly where it stopped (new
+    randoms, same estimator) — the straggler-compaction second pass.
+    Non-differentiable by construction (tables pass through
+    stop_gradient)."""
     rs = tile_sublanes
     r_pad = px.shape[0]
     nsub = r_pad // 128
@@ -517,49 +595,76 @@ def record_pp(scene: Scene, camera: Camera, seed, px, py, n_local: int, *,
         inputs.append(sg(tri_tables(scene)))
     inputs.append(sg(px).reshape(nsub, 128))
     inputs.append(sg(py).reshape(nsub, 128))
+    resume = init_state is not None
+    if resume:
+        st0, cnt0 = init_state
+        inputs.append(jax.lax.stop_gradient(st0).astype(jnp.float32)
+                      .reshape(7, nsub, 128))
+        inputs.append(cnt0.astype(jnp.int32).reshape(3, nsub, 128))
 
     kern = functools.partial(
         _record_pp_kernel, n_pad=n_pad, m_pad=m_pad, n_local=n_local,
         spp=spp, max_depth=max_depth, t_min=t_min, jitter=jitter,
         has_motion=scene.has_motion, rs=rs, unroll=unroll, iters=iters,
-        ig=ig)
+        ig=ig, resume=resume, want_state=want_state)
 
     n_tabs = (1 if n_pad else 0) + (1 if m_pad else 0)
     pix_spec = pl.BlockSpec((rs, 128), lambda i, t: (i, 0),
                             memory_space=pltpu.VMEM)
-    idx, aux, left = pl.pallas_call(
+    st_spec = pl.BlockSpec((7, rs, 128), lambda i, t: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    cnt_spec = pl.BlockSpec((3, rs, 128), lambda i, t: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 + n_tabs)
+                + [pix_spec, pix_spec])
+    if resume:
+        in_specs += [st_spec, cnt_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((iters, nsub, 128), jnp.int32),
+        jax.ShapeDtypeStruct((iters, _AUX_ROWS, nsub, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nsub, 128), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((ig, rs, 128), lambda i, t: (t, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ig, _AUX_ROWS, rs, 128), lambda i, t: (t, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rs, 128), lambda i, t: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if want_state:
+        out_shape += [jax.ShapeDtypeStruct((7, nsub, 128), jnp.float32),
+                      jax.ShapeDtypeStruct((3, nsub, 128), jnp.int32)]
+        out_specs += [st_spec, cnt_spec]
+    outs = pl.pallas_call(
         kern,
         grid=(n_tiles, iters // ig),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 + n_tabs)
-        + [pix_spec, pix_spec],
-        out_shape=(
-            jax.ShapeDtypeStruct((iters, nsub, 128), jnp.int32),
-            jax.ShapeDtypeStruct((iters, _AUX_ROWS, nsub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nsub, 128), jnp.int32),
-        ),
-        out_specs=(
-            pl.BlockSpec((ig, rs, 128), lambda i, t: (t, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ig, _AUX_ROWS, rs, 128), lambda i, t: (t, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rs, 128), lambda i, t: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=in_specs,
+        out_shape=tuple(out_shape),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((7, rs, 128), jnp.float32),
             pltpu.VMEM((3, rs, 128), jnp.int32),
         ],
         interpret=interpret,
     )(*inputs)
-    return (idx.reshape(iters, r_pad),
-            aux.reshape(iters, _AUX_ROWS, r_pad),
-            left.reshape(r_pad))
+    idx, aux, left = outs[:3]
+    ret = (idx.reshape(iters, r_pad),
+           aux.reshape(iters, _AUX_ROWS, r_pad),
+           left.reshape(r_pad))
+    if want_state:
+        ret = ret + ((outs[3].reshape(7, r_pad), outs[4].reshape(3, r_pad)),)
+    return ret
 
 
 def replay_pp(scene: Scene, idx, aux, *, t_min: float,
-              remat: bool = True, interpret=False) -> jnp.ndarray:
+              remat: bool = True, interpret=False, init_carry=None,
+              return_final: bool = False):
     """Differentiably re-trace a persistent-path recording; returns the
     per-slot radiance SUM over all samples [R, 3] (caller divides by spp).
+    ``init_carry``/``return_final`` as in :func:`replay_pp_fused`
+    ([_ST_ROWS, R] layout: o, d, tau, thr), for straggler-compaction
+    resume.
 
     Per-step ``jax.checkpoint`` (``remat=True``) keeps the backward's live
     set to the scan carry: without it XLA saves each step's [R, P] one-hot
@@ -725,8 +830,12 @@ def replay_pp(scene: Scene, idx, aux, *, t_min: float,
         return (o, d, tau, thr, out), None
 
     zero3 = jnp.zeros((r, 3), dtype=dt)
-    init = (zero3, zero3 + jnp.asarray([0.0, 0.0, 1.0], dt),
-            jnp.zeros((r,), dt), zero3 + 1.0, zero3)
+    if init_carry is None:
+        init = (zero3, zero3 + jnp.asarray([0.0, 0.0, 1.0], dt),
+                jnp.zeros((r,), dt), zero3 + 1.0, zero3)
+    else:
+        ic = init_carry.astype(dt)
+        init = (ic[0:3].T, ic[3:6].T, ic[6], ic[7:10].T, zero3)
     if remat:
         # Save the gathered winner rows ([R, 20]/step) so the backward's
         # per-step recompute skips the gather kernel; everything else
@@ -735,7 +844,11 @@ def replay_pp(scene: Scene, idx, aux, *, t_min: float,
         body = jax.checkpoint(step, policy=policy)
     else:
         body = step
-    (_, _, _, _, out), _ = jax.lax.scan(body, init, (idx, aux))
+    (o_f, d_f, tau_f, thr_f, out), _ = jax.lax.scan(body, init, (idx, aux))
+    if return_final:
+        fin = jnp.concatenate([o_f.T, d_f.T, tau_f[None, :], thr_f.T],
+                              axis=0)
+        return out, fin
     return out
 
 
@@ -743,20 +856,51 @@ def render_diff_pp_flat(scene: Scene, camera: Camera, key, px, py, *,
                         spp: int, max_depth: int, t_min: float, jitter: bool,
                         iters: int | None = None, tile_sublanes: int = 16,
                         interpret=False, return_leftover: bool = False,
-                        fused: bool | None = None):
+                        fused: bool | None = None,
+                        compact: bool | None = None,
+                        compact_capacity: int | None = None):
     """Persistent-path record+replay radiance of a flat pixel list [n] ->
     [n, 3] (spp-averaged). Drop-in for diffkernel.render_diff_flat — this is
     the per-device body of the sharded recorded train step.
 
+    Straggler compaction (the default, ``iters=None``): run the
+    :func:`default_schedule` of recording passes — a lean full-width pass,
+    then passes that gather the unfinished slots into compact arrays and
+    RESUME their recording (ray state, counters, and the replay carry all
+    hand off) with budgets summing to the exhaustive ``spp*max_depth``
+    bound; each pass's replay radiance scatter-adds into its original
+    slots. Exactness is preserved (leftover == 0) unless more slots
+    straggle than a pass's capacity — then the deficit is reported via
+    ``return_leftover`` and the caller should raise ``iters`` or
+    ``compact_capacity``. An explicit ``iters`` keeps the single-pass
+    behavior; ``iters`` + ``compact=True`` runs one resume pass of
+    ``compact_capacity`` slots (default R/8) with the remaining exhaustive
+    budget.
+
     With ``return_leftover=True`` also returns the total number of samples
     the iteration budget truncated (0 in practice; see module docstring).
     """
-    if iters is None:
-        iters = default_iters(spp, max_depth)
+    k_exh = spp * max_depth
     n_px = px.shape[0]
     rs = min(tile_sublanes, max(1, -(-n_px // 128)))
     block = rs * 128
     r_pad = -(-n_px // block) * block
+    if iters is None:
+        if compact is None:
+            compact = True
+        schedule = (default_schedule(spp, max_depth, r_pad, block)
+                    if compact else [(default_iters(spp, max_depth), r_pad)])
+    else:
+        if compact is None:
+            compact = False
+        schedule = [(iters, r_pad)]
+        if compact and iters < k_exh:
+            cap = (compact_capacity if compact_capacity is not None
+                   else max(block, r_pad // 8))
+            cap = max(block, min(-(-cap // block) * block, r_pad))
+            schedule.append((k_exh - iters, cap))
+    if len(schedule) == 1:
+        compact = False
     if r_pad != n_px:
         pad = r_pad - n_px
         px = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
@@ -767,42 +911,106 @@ def render_diff_pp_flat(scene: Scene, camera: Camera, key, px, py, *,
     else:
         seed = jnp.asarray(key, jnp.int32)
 
-    idx, aux, left = record_pp(
-        scene, camera, seed, px.astype(camera.dtype), py.astype(camera.dtype),
-        n_px, spp=spp, max_depth=max_depth, t_min=t_min, jitter=jitter,
-        iters=iters, tile_sublanes=rs, interpret=interpret)
+    px = px.astype(camera.dtype)
+    py = py.astype(camera.dtype)
     # The fused Pallas replay (default for f32 scenes) skips idle
     # iterations and keeps step intermediates on-chip; the XLA scan replay
     # remains the oracle and the f64 path. The replay-side kernels use no
     # pltpu-specific ops, so plain interpret=True suffices off-TPU.
     if fused is None:
         fused = scene.dtype == jnp.float32
-    if fused:
-        rad = replay_pp_fused(scene, idx, aux, t_min=t_min, tile_sublanes=rs,
-                              interpret=bool(interpret))
+
+    def _replay(idx_, aux_, **kw):
+        if fused:
+            return replay_pp_fused(scene, idx_, aux_, t_min=t_min,
+                                   tile_sublanes=rs,
+                                   interpret=bool(interpret), **kw)
+        return replay_pp(scene, idx_, aux_, t_min=t_min,
+                         interpret=bool(interpret), **kw)
+
+    n_pass = len(schedule)
+    rec = record_pp(
+        scene, camera, seed, px, py,
+        n_px, spp=spp, max_depth=max_depth, t_min=t_min, jitter=jitter,
+        iters=schedule[0][0], tile_sublanes=rs, interpret=interpret,
+        want_state=n_pass > 1)
+    idx, aux, left = rec[:3]
+    if n_pass == 1:
+        rad = _replay(idx, aux)
+        leftover = jnp.sum(left[:n_px])
     else:
-        rad = replay_pp(scene, idx, aux, t_min=t_min,
-                        interpret=bool(interpret))
+        # multi-pass compaction: each resume pass gathers the previous
+        # pass's unfinished slots (kernel state + the replay's final carry,
+        # so a mid-path slot hands off its ray AND throughput
+        # differentiably) into a compact array and scatter-adds its replay
+        # radiance back into the original slots.
+        i32 = jnp.int32
+        rad, fin_cur = _replay(idx, aux, return_final=True)
+        st_cur, cnt_cur = rec[3]
+        left_cur = left
+        px_cur, py_cur = px, py
+        map_cur = None  # compact-slot -> original-slot (None = identity)
+        overflow = jnp.zeros((), i32)
+        for j, (kj, capj) in enumerate(schedule[1:]):
+            last = j == n_pass - 2
+            strag = left_cur > 0
+            pos = jnp.cumsum(strag.astype(i32)) - 1
+            # compact slot c holds source slot scat[c]; overflow stragglers
+            # (pos >= cap) and non-stragglers land out of bounds and drop.
+            dest = jnp.where(strag, pos, capj)
+            scat = jnp.full((capj,), -1, i32).at[dest].set(
+                jnp.arange(left_cur.shape[0], dtype=i32), mode="drop")
+            valid_c = scat >= 0
+            safe = jnp.maximum(scat, 0)
+            orig = safe if map_cur is None else map_cur[safe]
+            cpx = jnp.where(valid_c, px_cur[safe], 0.0)
+            cpy = jnp.where(valid_c, py_cur[safe], 0.0)
+            cst = jnp.where(valid_c[None, :], st_cur[:, safe], 0.0)
+            # invalid compact slots: zero counters -> idle from iteration 0
+            ccnt = jnp.where(valid_c[None, :], cnt_cur[:, safe], 0)
+            dflt = _default_carry(capj // 128).reshape(_ST_ROWS, capj)
+            st0 = jnp.where(valid_c[None, :], fin_cur[:, safe], dflt)
+            seedj = jnp.bitwise_xor(
+                seed, jnp.asarray(0x5BD1E995 ^ (j * 0x9E37), jnp.int32))
+            recj = record_pp(
+                scene, camera, seedj, cpx, cpy, capj, spp=spp,
+                max_depth=max_depth, t_min=t_min, jitter=jitter, iters=kj,
+                tile_sublanes=rs, interpret=interpret,
+                init_state=(cst, ccnt), want_state=not last)
+            idxj, auxj, leftj = recj[:3]
+            if last:
+                radj = _replay(idxj, auxj, init_carry=st0)
+            else:
+                radj, fin_cur = _replay(idxj, auxj, init_carry=st0,
+                                        return_final=True)
+                st_cur, cnt_cur = recj[3]
+            rad = rad.at[orig].add(jnp.where(valid_c[:, None], radj, 0.0))
+            overflow = overflow + jnp.sum(
+                jnp.where(strag & (pos >= capj), left_cur, 0))
+            left_cur = leftj
+            px_cur, py_cur, map_cur = cpx, cpy, orig
+        leftover = jnp.sum(left_cur) + overflow
     img = rad[:n_px].astype(camera.dtype) / float(spp)
     if return_leftover:
-        return img, jnp.sum(left[:n_px])
+        return img, leftover
     return img
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "t_min", "jitter", "iters",
-                     "tile_sublanes", "interp", "want_left"),
+                     "tile_sublanes", "interp", "want_left", "compact"),
 )
 def _render_diff_pp_jit(scene, camera, seed, *, spp, max_depth, t_min,
-                        jitter, iters, tile_sublanes, interp, want_left):
+                        jitter, iters, tile_sublanes, interp, want_left,
+                        compact):
     h, w = camera.height, camera.width
     px, py = _pixel_grid(camera)
     res = render_diff_pp_flat(
         scene, camera, seed, px, py, spp=spp, max_depth=max_depth,
         t_min=t_min, jitter=jitter, iters=iters,
         tile_sublanes=tile_sublanes, interpret=interp,
-        return_leftover=want_left)
+        return_leftover=want_left, compact=compact)
     if want_left:
         flat, left = res
         return flat.reshape(h, w, 3), left
@@ -812,7 +1020,8 @@ def _render_diff_pp_jit(scene, camera, seed, *, spp, max_depth, t_min,
 def render_diff_pp(scene: Scene, camera: Camera, key,
                    config: RenderConfig = RenderConfig(), *,
                    iters: int | None = None, tile_sublanes: int = 16,
-                   interpret=None, return_leftover: bool = False):
+                   interpret=None, return_leftover: bool = False,
+                   compact: bool | None = None):
     """Differentiable render via persistent-path record/replay — same
     estimator distribution as the forward megakernel (both respawn camera
     samples per slot with in-kernel PRNG streams), composing with
@@ -841,11 +1050,9 @@ def render_diff_pp(scene: Scene, camera: Camera, key,
         seed = jnp.asarray(key, jnp.int32)
     return _render_diff_pp_jit(
         scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
-        t_min=config.t_min, jitter=config.jitter,
-        iters=(iters if iters is not None
-               else default_iters(config.spp, config.max_depth)),
+        t_min=config.t_min, jitter=config.jitter, iters=iters,
         tile_sublanes=tile_sublanes, interp=interpret,
-        want_left=return_leftover)
+        want_left=return_leftover, compact=compact)
 
 
 # --------------------------------------------------------------------------
@@ -1293,13 +1500,16 @@ def _pp_step_c(st, row, aux, hit, miss, is_tri, *, has_motion, with_sph,
 _FUSED_IG = 8  # replay iterations per grid step (amortizes step overhead)
 
 
-def _fused_fwd_kernel(rows_ref, aux_ref, idx_ref, out_ref, st_out_ref,
-                      st_ref, acc_ref, *, kcfg):
+def _fused_fwd_kernel(rows_ref, aux_ref, idx_ref, st0_ref, out_ref,
+                      st_out_ref, fin_ref, st_ref, acc_ref, *, kcfg):
     """Grid = (tiles, K/_FUSED_IG); each step runs _FUSED_IG replay
     iterations. Per iteration: write the entry state to HBM (for the
     backward), run one replay step, accumulate radiance in VMEM; write the
-    radiance at the last group. Idle iterations (no recorded-active slot in
-    the tile) skip everything but the state write."""
+    radiance and the FINAL carry (for straggler-compaction resume) at the
+    last group. Idle iterations (no recorded-active slot in the tile) skip
+    everything but the state write. ``st0`` is the initial carry — default
+    (o=0, d=z_hat, thr=1) for a fresh recording, or the previous pass's
+    final carry when replaying a RESUMED recording."""
     grp = pl.program_id(1)
     f32 = jnp.float32
     rs = st_ref.shape[1]
@@ -1309,7 +1519,8 @@ def _fused_fwd_kernel(rows_ref, aux_ref, idx_ref, out_ref, st_out_ref,
     @pl.when(grp == 0)
     def _init():
         st_ref[...] = jnp.zeros(st_ref.shape, f32)
-        st_ref[5] = jnp.ones(shape, f32)  # placeholder non-zero direction
+        for k in range(_ST_ROWS):
+            st_ref[k] = st0_ref[k]
         acc_ref[...] = jnp.zeros((3, rs, 128), f32)
 
     for g in range(ig):
@@ -1338,10 +1549,12 @@ def _fused_fwd_kernel(rows_ref, aux_ref, idx_ref, out_ref, st_out_ref,
     @pl.when(grp == pl.num_programs(1) - 1)
     def _final():
         out_ref[...] = acc_ref[...]
+        for k in range(_ST_ROWS):
+            fin_ref[k] = st_ref[k]
 
 
 def _fused_bwd_kernel(rows_ref, aux_ref, idx_ref, st_in_ref, g_ref,
-                      drows_ref, dst_ref, *, kcfg):
+                      gfin_ref, drows_ref, dst0_ref, dst_ref, *, kcfg):
     """Reverse walk of the fused replay (grid iteration t maps to replay
     iteration K-1-t via the index maps). Recomputes the step from the stored
     entry state and applies its VJP with jax.vjp — the step is elementwise,
@@ -1349,7 +1562,10 @@ def _fused_bwd_kernel(rows_ref, aux_ref, idx_ref, st_in_ref, g_ref,
     cotangent g enters every iteration's out_add; the state cotangent is
     carried in VMEM scratch; the winner-row cotangent is written per
     iteration (the table cotangent is assembled outside by the gather's
-    transposed matmul)."""
+    transposed matmul). The carry cotangent starts from the FINAL-carry
+    cotangent ``gfin`` (nonzero when a compacted resume pass consumed this
+    replay's final carry) and, after walking back through iteration 0,
+    lands in ``dst0`` — the initial-carry cotangent."""
     t = pl.program_id(1)
     f32 = jnp.float32
     rs = dst_ref.shape[1]
@@ -1358,6 +1574,8 @@ def _fused_bwd_kernel(rows_ref, aux_ref, idx_ref, st_in_ref, g_ref,
     @pl.when(t == 0)
     def _init():
         dst_ref[...] = jnp.zeros(dst_ref.shape, f32)
+        for k in range(_ST_ROWS):
+            dst_ref[k] = gfin_ref[k]
 
     for g in range(ig - 1, -1, -1):  # reverse within the (reversed) group
         idx = idx_ref[g]
@@ -1391,24 +1609,35 @@ def _fused_bwd_kernel(rows_ref, aux_ref, idx_ref, st_in_ref, g_ref,
             for k in range(20):
                 drows_ref[k, g] = d_row[k]
 
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _emit_dst0():
+        for k in range(_ST_ROWS):
+            dst0_ref[k] = dst_ref[k]
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_replay(rows4, aux4, idx3, kcfg, interpret):
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_replay(rows4, aux4, idx3, st0, kcfg, interpret):
     """rows4 [K, 24(padded 20), nsub, 128] f32 (differentiable), aux4
-    [K, _AUX_ROWS+3 pad, nsub, 128], idx3 [K, nsub, 128] i32 -> radiance
-    [3, nsub, 128] (slot sums). ``kcfg`` is a hashable tuple-of-pairs."""
-    out, _ = _fused_replay_fwd_impl(rows4, aux4, idx3, kcfg, interpret)
-    return out
+    [K, _AUX_ROWS+3 pad, nsub, 128], idx3 [K, nsub, 128] i32, st0
+    [_ST_ROWS, nsub, 128] f32 initial carry (differentiable — the previous
+    pass's final carry under straggler compaction) -> (radiance
+    [3, nsub, 128] slot sums, final carry [_ST_ROWS, nsub, 128]). ``kcfg``
+    is a hashable tuple-of-pairs."""
+    out, fin, _ = _fused_replay_fwd_impl(rows4, aux4, idx3, st0, kcfg,
+                                         interpret)
+    return out, fin
 
 
-def _fused_replay_fwd_impl(rows4, aux4, idx3, kcfg, interpret):
+def _fused_replay_fwd_impl(rows4, aux4, idx3, st0, kcfg, interpret):
     kc = dict(kcfg)
     n_cols, k_it, nsub, _ = rows4.shape
     rs = kc["rs"]
     n_tiles = nsub // rs
     ig = _FUSED_IG if k_it % _FUSED_IG == 0 else 1
     kern = functools.partial(_fused_fwd_kernel, kcfg=kc)
-    out, st_out = pl.pallas_call(
+    st_spec = pl.BlockSpec((_ST_ROWS, rs, 128), lambda i, t: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    out, st_out, fin = pl.pallas_call(
         kern,
         grid=(n_tiles, k_it // ig),
         in_specs=[
@@ -1419,11 +1648,13 @@ def _fused_replay_fwd_impl(rows4, aux4, idx3, kcfg, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ig, rs, 128), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
+            st_spec,
         ],
         out_shape=(
             jax.ShapeDtypeStruct((3, nsub, 128), jnp.float32),
             jax.ShapeDtypeStruct((_ST_ROWS + 6, k_it, nsub, 128),
                                  jnp.float32),
+            jax.ShapeDtypeStruct((_ST_ROWS, nsub, 128), jnp.float32),
         ),
         out_specs=(
             pl.BlockSpec((3, rs, 128), lambda i, t: (0, i, 0),
@@ -1431,25 +1662,28 @@ def _fused_replay_fwd_impl(rows4, aux4, idx3, kcfg, interpret):
             pl.BlockSpec((_ST_ROWS + 6, ig, rs, 128),
                          lambda i, t: (0, t, i, 0),
                          memory_space=pltpu.VMEM),
+            st_spec,
         ),
         scratch_shapes=[
             pltpu.VMEM((_ST_ROWS + 6, rs, 128), jnp.float32),
             pltpu.VMEM((3, rs, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(rows4, aux4, idx3)
-    return out, st_out
+    )(rows4, aux4, idx3, st0)
+    return out, fin, st_out
 
 
-def _fused_replay_vjp_fwd(rows4, aux4, idx3, kcfg, interpret):
-    out, st_out = _fused_replay_fwd_impl(rows4, aux4, idx3, kcfg, interpret)
-    return out, (rows4, aux4, idx3, st_out)
+def _fused_replay_vjp_fwd(rows4, aux4, idx3, st0, kcfg, interpret):
+    out, fin, st_out = _fused_replay_fwd_impl(rows4, aux4, idx3, st0, kcfg,
+                                              interpret)
+    return (out, fin), (rows4, aux4, idx3, st_out)
 
 
 def _fused_replay_vjp_bwd(kcfg, interpret, res, g):
     import numpy as _np
 
     rows4, aux4, idx3, st_out = res
+    g_out, g_fin = g
     kc = dict(kcfg)
     n_cols, k_it, nsub, _ = rows4.shape
     rs = kc["rs"]
@@ -1457,7 +1691,9 @@ def _fused_replay_vjp_bwd(kcfg, interpret, res, g):
     ig = _FUSED_IG if k_it % _FUSED_IG == 0 else 1
     rev = k_it // ig - 1
     kern = functools.partial(_fused_bwd_kernel, kcfg=kc)
-    drows = pl.pallas_call(
+    st_spec = pl.BlockSpec((_ST_ROWS, rs, 128), lambda i, t: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    drows, dst0 = pl.pallas_call(
         kern,
         grid=(n_tiles, k_it // ig),
         in_specs=[
@@ -1474,32 +1710,53 @@ def _fused_replay_vjp_bwd(kcfg, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, rs, 128), lambda i, t: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            st_spec,
         ],
-        out_shape=jax.ShapeDtypeStruct((n_cols, k_it, nsub, 128),
-                                       jnp.float32),
-        out_specs=pl.BlockSpec((n_cols, ig, rs, 128),
-                               lambda i, t: (0, rev - t, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cols, k_it, nsub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((_ST_ROWS, nsub, 128), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((n_cols, ig, rs, 128),
+                         lambda i, t: (0, rev - t, i, 0),
+                         memory_space=pltpu.VMEM),
+            st_spec,
+        ),
         scratch_shapes=[
             pltpu.VMEM((_ST_ROWS + 6, rs, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(rows4, aux4, idx3, st_out, g)
+    )(rows4, aux4, idx3, st_out, g_out, g_fin)
     # aux4 is float but flows from stop_gradient upstream: a real zero
     # cotangent (DCE'd by XLA); idx3 is integer -> float0.
     return (drows, jnp.zeros(aux4.shape, aux4.dtype),
-            _np.zeros(idx3.shape, jax.dtypes.float0))
+            _np.zeros(idx3.shape, jax.dtypes.float0), dst0)
 
 
 _fused_replay.defvjp(_fused_replay_vjp_fwd, _fused_replay_vjp_bwd)
 
 
+def _default_carry(nsub: int):
+    """Fresh-recording initial carry: o=0, d=z_hat (non-degenerate), tau=0,
+    thr=1 — matches replay_pp's scan init. Every live slot's first recorded
+    iteration is a spawn, so this only matters for RESUMED recordings."""
+    st0 = jnp.zeros((_ST_ROWS, nsub, 128), jnp.float32)
+    return st0.at[5].set(1.0).at[7:10].set(1.0)
+
+
 def replay_pp_fused(scene: Scene, idx, aux, *, t_min: float,
-                    tile_sublanes: int = 16, interpret=False) -> jnp.ndarray:
+                    tile_sublanes: int = 16, interpret=False,
+                    init_carry=None, return_final: bool = False):
     """Fused-kernel equivalent of :func:`replay_pp` (same estimator, same
     gradients): gathers all winner rows once with :func:`gather_rows`
     (differentiable in the table), then runs the Pallas forward/backward
-    iteration kernels. f32 only; off-TPU it runs under plain interpret."""
+    iteration kernels. f32 only; off-TPU it runs under plain interpret.
+
+    ``init_carry`` ([_ST_ROWS, R] f32: o, d, tau, thr) replays a RESUMED
+    recording from the given per-slot carry; ``return_final=True`` also
+    returns the final carry in the same layout. Both are differentiable —
+    under straggler compaction the phase-2 radiance backpropagates through
+    the phase-1 replay's final throughput/ray state."""
     k_it, r = idx.shape
     rs = tile_sublanes
     nsub = r // 128
@@ -1525,6 +1782,11 @@ def replay_pp_fused(scene: Scene, idx, aux, *, t_min: float,
     aux4 = aux.reshape(k_it, _AUX_ROWS, nsub, 128)
     idx3 = idx.reshape(k_it, nsub, 128)
 
+    if init_carry is None:
+        st0 = _default_carry(nsub)
+    else:
+        st0 = init_carry.astype(jnp.float32).reshape(_ST_ROWS, nsub, 128)
+
     kcfg = tuple(sorted({
         "rs": rs,
         "n_sph_pad": (int(scene.sphere_radius.shape[0])
@@ -1534,5 +1796,8 @@ def replay_pp_fused(scene: Scene, idx, aux, *, t_min: float,
         "has_motion": scene.has_motion,
         "t_min": float(t_min),
     }.items()))
-    out = _fused_replay(rows4, aux4, idx3, kcfg, bool(interpret))
-    return jnp.transpose(out, (1, 2, 0)).reshape(r, 3)
+    out, fin = _fused_replay(rows4, aux4, idx3, st0, kcfg, bool(interpret))
+    rad = jnp.transpose(out, (1, 2, 0)).reshape(r, 3)
+    if return_final:
+        return rad, fin.reshape(_ST_ROWS, r)
+    return rad

@@ -15,8 +15,9 @@ import pytest
 
 import rayz_tpu as rt
 from rayz_tpu.diff import extract_params, inject_params, pixel_loss
-from rayz_tpu.ops.pathrec import (default_iters, gather_rows, record_pp,
-                                  render_diff_pp, replay_pp, supports_pp)
+from rayz_tpu.ops.pathrec import (default_iters, default_k1, gather_rows,
+                                  record_pp, render_diff_pp,
+                                  render_diff_pp_flat, replay_pp, supports_pp)
 
 
 def _metal_scene(dtype=jnp.float32):
@@ -50,6 +51,99 @@ def test_default_iters_policy():
     assert default_iters(1, 32) == 32  # spp=1 always exact (hard cap)
     assert default_iters(8, 32) == 160  # measured leftover-0 flagship budget
     assert default_iters(64, 8) == 288
+    # compaction first-pass budget: ~mean iterations per slot (4*spp)
+    assert default_k1(1, 32) == 16
+    assert default_k1(8, 32) == 32
+    assert default_k1(64, 8) == 256
+    # schedule budgets sum to the exhaustive bound (per-slot guarantee)
+    from rayz_tpu.ops.pathrec import default_schedule
+    sch = default_schedule(8, 32, 262144, 2048)
+    assert sch == [(32, 262144), (32, 131072), (192, 16384)]
+    assert sum(k for k, _ in sch) == 8 * 32
+    assert default_schedule(1, 32, 2048, 2048) == [(16, 2048), (16, 2048)]
+
+
+def test_straggler_compaction_completes_starved_budget():
+    """iters=2 truncates (see test_iteration_budget_truncation_reported);
+    with compact=True the resumed second pass must finish every sample and
+    reproduce the exhaustive single-pass image exactly (the stubbed PRNG is
+    deterministic, so resume == continuation bit for bit)."""
+    scene, cam = _metal_scene()
+    cfg = rt.RenderConfig(spp=4, max_depth=6, jitter=False)
+    img_c, left_c = render_diff_pp(scene, cam, 0, cfg, iters=2, compact=True,
+                                   return_leftover=True)
+    assert int(left_c) == 0
+    img_x, left_x = render_diff_pp(scene, cam, 0, cfg, iters=4 * 6,
+                                   return_leftover=True)
+    assert int(left_x) == 0
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_x),
+                               atol=1e-6)
+
+
+def test_compaction_default_on_and_exact():
+    """The default budget (iters=None) now records at default_k1 + compacts;
+    it must agree with the old exhaustive budget and report leftover 0."""
+    scene, cam = _mixed_scene()
+    cfg = rt.RenderConfig(spp=3, max_depth=5, jitter=False)
+    img_d, left_d = render_diff_pp(scene, cam, 0, cfg, return_leftover=True)
+    assert int(left_d) == 0
+    img_x = render_diff_pp(scene, cam, 0, cfg, iters=3 * 5)
+    np.testing.assert_allclose(np.asarray(img_d), np.asarray(img_x),
+                               atol=1e-6)
+
+
+def test_compaction_grads_match_exhaustive():
+    """jax.grad through the two-pass compacted estimator (record + resumed
+    record + two replays + scatter-add) must equal the single-pass
+    exhaustive gradients — same paths, same recorded controls."""
+    from jax.experimental.pallas import tpu as pltpu
+    from rayz_tpu.ops.integrator import _pixel_grid
+
+    scene, cam = _metal_scene()
+    px, py = _pixel_grid(cam)
+    n = px.shape[0]
+    params = extract_params(scene, ("tex_color", "sphere_center"))
+
+    def loss(p, iters, compact):
+        img = render_diff_pp_flat(
+            inject_params(scene, p), cam, 0, px, py, spp=2, max_depth=6,
+            t_min=1e-3, jitter=False, iters=iters, compact=compact,
+            interpret=pltpu.InterpretParams())
+        return jnp.sum(img[:n] ** 2)
+
+    g_c = jax.grad(lambda p: loss(p, 3, True))(params)
+    g_x = jax.grad(lambda p: loss(p, 12, False))(params)
+    for f in params:
+        a, b = np.asarray(g_x[f]), np.asarray(g_c[f])
+        assert np.isfinite(b).all(), f
+        np.testing.assert_allclose(b, a, atol=1e-5, err_msg=f)
+
+
+def test_compaction_capacity_overflow_reports_leftover():
+    """When more slots straggle than the compact capacity, the deficit must
+    be REPORTED (not silently dropped): tile_sublanes=1 makes the block 128
+    slots, so a 256-slot render with capacity 128 and iters=1 (every slot
+    truncates) overflows — leftover > 0, and the in-capacity half still
+    completes (leftover < the no-compaction deficit)."""
+    scene, cam = _metal_scene()
+    from jax.experimental.pallas import tpu as pltpu
+    from rayz_tpu.ops.integrator import _pixel_grid
+    px, py = _pixel_grid(cam)  # 256 pixels
+    kw = dict(spp=4, max_depth=6, t_min=1e-3, jitter=False,
+              tile_sublanes=1, interpret=pltpu.InterpretParams(),
+              return_leftover=True)
+    _, left_nc = render_diff_pp_flat(scene, cam, 0, px, py, iters=1,
+                                     compact=False, **kw)
+    img, left = render_diff_pp_flat(scene, cam, 0, px, py, iters=1,
+                                    compact=True, compact_capacity=128, **kw)
+    assert int(left_nc) > 0
+    assert 0 < int(left) < int(left_nc)
+    assert np.isfinite(np.asarray(img)).all()
+    # full capacity -> exact
+    _, left_full = render_diff_pp_flat(scene, cam, 0, px, py, iters=1,
+                                       compact=True, compact_capacity=256,
+                                       **kw)
+    assert int(left_full) == 0
 
 
 def test_deterministic_parity_vs_dense():
