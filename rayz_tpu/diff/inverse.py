@@ -192,8 +192,12 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
             return jnp.sum(weight[:, None] * (img - tgt) ** 2), left
 
         (l, left), g = jax.value_and_grad(local_loss, has_aux=True)(params)
+        # psum the leftover COUNT in f32: the XLA-CPU gloo backend was
+        # observed to deadlock on a mixed f32+s32 all-reduce group in the
+        # 2-process loopback test (exact counts survive f32 below 2^24
+        # samples; leftover is 0 in practice and the check is >0).
         return (jax.lax.psum(l, axis), jax.lax.psum(g, axis),
-                jax.lax.psum(left, axis))
+                jax.lax.psum(left.astype(l.dtype), axis).astype(jnp.int32))
 
     sharded_lg = _shard_map(
         _loss_grad_shard,

@@ -106,6 +106,13 @@ class Scene:
     # auto-dispatch to XLA) instead of silently degrading. Set by
     # SceneBuilder; defaults False for directly constructed scenes.
     deep_checker: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Maximum texture-indirection depth (a solid texture is depth 1; a
+    # checker is 1 + the deeper of its children). The XLA integrator unrolls
+    # exactly this many chase levels, matching the reference's unbounded
+    # recursion (material.zig:37-51) for ANY nest the builder can express
+    # (the builder's handle discipline makes texture graphs acyclic). 0 =
+    # unknown (directly constructed Scene) -> a 4-level default.
+    tex_depth: int = dataclasses.field(metadata=dict(static=True), default=0)
     # Structural uniqueness hints for the megakernel's global-material fast
     # path (values stay traced; only the STRUCTURE is static): the texture
     # index of the scene's sole checker texture, and the material index of its
@@ -279,6 +286,16 @@ class SceneBuilder:
                                   or tk[to[i]] == TEX_CHECKER)
             for i, t in enumerate(tk))
 
+        depth_memo = {}
+
+        def _tex_depth(i):
+            if i not in depth_memo:
+                depth_memo[i] = 1 if tk[i] != TEX_CHECKER else 1 + max(
+                    _tex_depth(te[i]), _tex_depth(to[i]))
+            return depth_memo[i]
+
+        tex_depth = max((_tex_depth(i) for i in range(len(tk))), default=1)
+
         return Scene(
             sphere_center=farr(self._sph_center, (npad, 3)),
             sphere_velocity=farr(self._sph_vel, (npad, 3)),
@@ -306,4 +323,5 @@ class SceneBuilder:
             uniq_checker_tex=uniq_checker,
             uniq_dielectric_mat=uniq_diel,
             deep_checker=deep_checker,
+            tex_depth=tex_depth,
         )

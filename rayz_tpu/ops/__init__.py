@@ -7,6 +7,7 @@ from .diffkernel import record_paths, render_diff, replay_paths, supports_diff
 from .pathrec import (default_iters, default_k1, gather_rows, record_pp, render_diff_pp,
                       render_diff_pp_flat, replay_pp, supports_pp)
 from .engine import pick_engine, render_fast
+from .wavefront import render_wavefront, supports_wavefront
 
 __all__ = [
     "RenderConfig",
@@ -27,6 +28,8 @@ __all__ = [
     "record_paths",
     "replay_paths",
     "render_fast",
+    "render_wavefront",
+    "supports_wavefront",
     "pick_engine",
     "scene_tables",
     "supports_scene",

@@ -165,25 +165,37 @@ def _smem_words(scene: Scene, blk: int) -> int:
     return words
 
 
-def fits_stream(scene: Scene,
-                stream_chunk: int = DEFAULT_STREAM_CHUNK) -> bool:
-    """Whether the STREAMED megakernel can run this scene: only the chunk
-    scratch, per-chunk bound rows, and camera/seed must fit SMEM (the tables
-    themselves live in HBM) — ~50M primitives at the default chunk size
-    before the bound rows outgrow the budget."""
+def _stream_smem_words(scene: Scene, stream_chunk: int, blk: int) -> int:
+    """SMEM words the streamed kernel actually allocates — the SAME shapes
+    ``_trace_shard_streamed`` builds (chunk scratch rows rounded up to the
+    8-sublane DMA alignment, an (8, chunk/blk) block-row scratch per class,
+    resident per-chunk bounds, camera/globals/seed) so a scene that passes
+    ``fits_stream`` can never hit the launch-time guard."""
     gm = use_global_materials(scene)
     n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
     m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
-    rows_s = _GNROWS if gm else _NROWS
-    rows_t = _TGNROWS if gm else _TNROWS
+    rows_s = _round_up(_GNROWS if gm else _NROWS, 8)
+    rows_t = _round_up(_TGNROWS if gm else _TNROWS, 8)
     words = 18 + (8 if gm else 0) + 2
     for n, rows in ((n_pad, rows_s), (m_pad, rows_t)):
         if n:
             n = _round_up(n, stream_chunk)
-            words += rows * stream_chunk      # chunk scratch
-            words += 4 * 128                  # block-row scratch (128/chunk)
+            words += rows * stream_chunk      # chunk scratch (8-row padded)
+            if blk:
+                words += 8 * (stream_chunk // blk)  # block-row scratch
             words += 4 * (n // stream_chunk)  # resident chunk bounds
-    return 4 * words <= SMEM_BUDGET
+    return words
+
+
+def fits_stream(scene: Scene,
+                stream_chunk: int = DEFAULT_STREAM_CHUNK,
+                block_size: int = DEFAULT_BLOCK) -> bool:
+    """Whether the STREAMED megakernel can run this scene: only the chunk
+    scratch, per-chunk bound rows, and camera/seed must fit SMEM (the tables
+    themselves live in HBM) — ~50M primitives at the default chunk size
+    before the bound rows outgrow the budget."""
+    return 4 * _stream_smem_words(scene, stream_chunk,
+                                  block_size) <= SMEM_BUDGET
 
 
 def fits_smem(scene: Scene, culling: Optional[bool] = None,
@@ -507,7 +519,14 @@ def _kernel(cam_ref, *args,
         r = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-24))
         return r * jnp.cos(phi), r * jnp.sin(phi), z
 
-    # Slot -> pixel (row-major, renderer.zig:80-96 layout).
+    # Slot -> pixel (row-major, renderer.zig:80-96 layout). NOTE: 64x32
+    # pixel-PATCH slot order was tried here (round 4) and reverted for the
+    # persistent kernel: patches concentrate long paths into the same tile
+    # (an all-geometry tile runs many more respawn iterations while its
+    # all-sky neighbors finish early), costing ~5-10% at mid N with no
+    # culling gain — staggered respawn defeats the tighter frustum anyway.
+    # The wavefront engine (wavefront.py), whose bounce-0 tiles are pure
+    # frusta, DOES use patch ordering (driver-side, via _patch_inverse).
     sub = jax.lax.broadcasted_iota(i32, shape, 0)
     lane = jax.lax.broadcasted_iota(i32, shape, 1)
     pix = pix_off + (tile * rs + sub) * 128 + lane
@@ -548,6 +567,12 @@ def _kernel(cam_ref, *args,
         # ---- respawn dead slots with the next camera sample ----
         # (Camera.getRay, camera.zig:59-77: +-0.5 pixel jitter, defocus-disk
         # origin, time in [0,1); polar disk sample replaces rejection.)
+        # (Wave respawn — whole-tile-at-once, for bounce-coherent culled
+        # sweeps — was measured SLOWER at 16k-100k: the occupancy loss of
+        # running each wave to its last straggler exceeds the pruning gain,
+        # because one divergent secondary ray already keeps most clusters
+        # 'possible'. Secondary-ray coherence needs inter-bounce compaction
+        # and sorting instead: see ops/wavefront.py.)
         spawn = (~active) & (samples > 0)
         if jitter:
             x = pxf + uniform() - 0.5
@@ -1095,45 +1120,9 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
             stream=stream, gm=gm, w=w, h=h, n_pad=n_pad, m_pad=m_pad,
             stream_cull=stream_cull)
 
-    inputs = [cam]
-    blk_inputs = []
-    if n_pad:
-        stab = scene_tables_gm(scene) if gm else scene_tables(scene)
-        if blk:
-            lo, hi = _sphere_aabbs(scene)
-            perm = _morton_perm(lo, hi, scene.sphere_valid)
-            stab = stab[:, perm]
-            n_pad = _round_up(n_pad, blk)
-            stab = _pad_poison(stab, n_pad, _CCMR2)
-            valid = jnp.pad(scene.sphere_valid[perm],
-                            (0, n_pad - perm.shape[0]))
-            pad3 = ((0, n_pad - perm.shape[0]), (0, 0))
-            blk_inputs.append(_block_rows(jnp.pad(lo[perm], pad3),
-                                          jnp.pad(hi[perm], pad3),
-                                          valid, blk))
-        # The unroll groups read a full group past the last partial one:
-        # pad to an unroll multiple with poisoned columns (an OOB SMEM read
-        # on hardware silently returns garbage that could fabricate hits).
-        n_pad = _round_up(n_pad, unroll)
-        stab = _pad_poison(stab, n_pad, _CCMR2)
-        inputs.append(stab)
-    if m_pad:
-        ttab = tri_tables_gm(scene) if gm else tri_tables(scene)
-        if blk:
-            lo, hi = _tri_aabbs(scene)
-            perm = _morton_perm(lo, hi, scene.tri_valid)
-            ttab = ttab[:, perm]
-            m_pad = _round_up(m_pad, blk)
-            ttab = _pad_poison(ttab, m_pad, _TG1V)
-            valid = jnp.pad(scene.tri_valid[perm], (0, m_pad - perm.shape[0]))
-            pad3 = ((0, m_pad - perm.shape[0]), (0, 0))
-            blk_inputs.append(_block_rows(jnp.pad(lo[perm], pad3),
-                                          jnp.pad(hi[perm], pad3),
-                                          valid, blk))
-        m_pad = _round_up(m_pad, unroll)
-        ttab = _pad_poison(ttab, m_pad, _TG1V)
-        inputs.append(ttab)
-    inputs.extend(blk_inputs)
+    tabs, blk_inputs, n_pad, m_pad = _smem_scene_inputs(
+        scene, gm, blk, unroll, _cam_origin(camera), n_pad, m_pad)
+    inputs = [cam] + tabs + blk_inputs
     inputs.append(seed_arr)
 
     smem_bytes = sum(4 * int(jnp.size(x)) for x in inputs)
@@ -1178,51 +1167,18 @@ def _trace_shard_streamed(scene, camera, seed_arr, cam, n_local, nsub,
     ceiling — the analogue of the reference BVH's unbounded N
     (/root/reference/src/hit.zig:101-217) at streaming cost."""
     assert stream % 128 == 0 and stream % unroll == 0
+    smem_bytes = 4 * _stream_smem_words(scene, stream, blk)
+    if smem_bytes > SMEM_BUDGET:
+        raise ValueError(
+            f"streamed megakernel scratch needs {smem_bytes} bytes of SMEM "
+            f"(> ~{SMEM_BUDGET // 1000}KB budget): shrink the stream chunk "
+            "or the scene (fits_stream gates auto-dispatch on the same "
+            "accounting)")
     assert blk == 0 or (stream // blk) % 128 == 0, \
         "block-row DMA slices must be 128-aligned"
-    inputs = [cam]
-    hbm_specs = []
-    cbnds = []
-    blk_hbm = []
-    if n_pad:
-        stab = scene_tables_gm(scene) if gm else scene_tables(scene)
-        lo, hi = _sphere_aabbs(scene)
-        perm = _morton_perm(lo, hi, scene.sphere_valid)
-        stab = stab[:, perm]
-        n_pad = _round_up(n_pad, stream)
-        stab = _pad_poison(stab, n_pad, _CCMR2)
-        rows_pad = _round_up(stab.shape[0], 8)
-        stab = jnp.pad(stab, ((0, rows_pad - stab.shape[0]), (0, 0)))
-        valid = jnp.pad(scene.sphere_valid[perm], (0, n_pad - perm.shape[0]))
-        pad3 = ((0, n_pad - perm.shape[0]), (0, 0))
-        lo = jnp.pad(lo[perm], pad3)
-        hi = jnp.pad(hi[perm], pad3)
-        inputs.append(stab)
-        hbm_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        cbnds.append(_block_rows(lo, hi, valid, stream))
-        if blk:
-            br = _block_rows(lo, hi, valid, blk)
-            blk_hbm.append(jnp.pad(br, ((0, 4), (0, 0))))
-    if m_pad:
-        ttab = tri_tables_gm(scene) if gm else tri_tables(scene)
-        lo, hi = _tri_aabbs(scene)
-        perm = _morton_perm(lo, hi, scene.tri_valid)
-        ttab = ttab[:, perm]
-        m_pad = _round_up(m_pad, stream)
-        ttab = _pad_poison(ttab, m_pad, _TG1V)
-        rows_pad = _round_up(ttab.shape[0], 8)
-        ttab = jnp.pad(ttab, ((0, rows_pad - ttab.shape[0]), (0, 0)))
-        valid = jnp.pad(scene.tri_valid[perm], (0, m_pad - perm.shape[0]))
-        pad3 = ((0, m_pad - perm.shape[0]), (0, 0))
-        lo = jnp.pad(lo[perm], pad3)
-        hi = jnp.pad(hi[perm], pad3)
-        inputs.append(ttab)
-        hbm_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        cbnds.append(_block_rows(lo, hi, valid, stream))
-        if blk:
-            br = _block_rows(lo, hi, valid, blk)
-            blk_hbm.append(jnp.pad(br, ((0, 4), (0, 0))))
-    inputs.extend(cbnds)
+    (tabs, hbm_specs, cbnds, blk_hbm, n_pad, m_pad) = _stream_scene_inputs(
+        scene, gm, stream, blk, _cam_origin(camera), n_pad, m_pad)
+    inputs = [cam] + tabs + cbnds
     smem_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(cbnds)
     inputs.extend(blk_hbm)
     hbm_specs2 = [pl.BlockSpec(memory_space=pl.ANY)] * len(blk_hbm)
@@ -1281,6 +1237,173 @@ def _resolve_tiling(scene: Scene, tile_sublanes: Optional[int],
     if unroll is None:
         unroll = 16 if tri_dom else 8
     return tile_sublanes, unroll
+
+
+def _cam_origin(camera) -> jnp.ndarray:
+    return camera.look_from.astype(jnp.float32)
+
+
+def _near_to_far(tab, lo, hi, valid, group: int, origin, within: int = 0):
+    """Permute ``group``-sized column groups so the sweep visits them in
+    order of increasing distance from ``origin`` (the camera): the winner
+    distance ``qb`` then collapses within the first few groups and every
+    occluded cluster fails the ``hb - rtb < qb`` bound test — the TPU
+    analogue of BVH near-child-first traversal with shrinking tmax
+    (/root/reference/src/hit.zig:197-204). Sort key = nearest valid
+    member's distance (robust for large clusters). With ``within`` > 0,
+    groups are reordered only inside each ``within``-sized segment (blocks
+    within a streamed chunk), preserving the outer segment order."""
+    n = valid.shape[0]
+    ng = n // group
+    ctr = 0.5 * (lo + hi)
+    d2 = jnp.sum((ctr - origin[None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    gd = jnp.min(d2.reshape(ng, group), axis=1)
+    if within:
+        gpw = within // group  # groups per segment
+        inner = jnp.argsort(gd.reshape(-1, gpw), axis=1)
+        order = (jnp.arange(ng // gpw)[:, None] * gpw + inner).reshape(-1)
+    else:
+        order = jnp.argsort(gd)
+    col = (order[:, None] * group
+           + jnp.arange(group)[None, :]).reshape(-1)
+    return tab[:, col], lo[col], hi[col], valid[col]
+
+
+def use_patch_order(width: int, height: int) -> bool:
+    """Whether the megakernel lays slots out in 64x32-pixel patches (images
+    that tile evenly) instead of row-major — see the slot->pixel note in
+    ``_kernel``. Renders are identical up to the per-slot PRNG stream
+    assignment; the host unscrambles with :func:`_patch_inverse`."""
+    return width % 64 == 0 and height % 32 == 0
+
+
+@functools.lru_cache(maxsize=64)
+def _patch_inverse(width: int, height: int):
+    """Row-major pixel index -> slot index under the patch layout (numpy,
+    static per image size): flat[_patch_inverse(w, h)] is the row-major
+    image."""
+    import numpy as _np
+    p = _np.arange(width * height)
+    x = p % width
+    y = p // width
+    ppr = width // 64
+    pid = (y // 32) * ppr + (x // 64)
+    q = (y % 32) * 64 + (x % 64)
+    return _np.asarray(pid * 2048 + q, _np.int32)
+
+
+def _smem_scene_inputs(scene: Scene, gm: bool, blk: int, unroll: int,
+                       origin, n_pad: int, m_pad: int):
+    """Whole-scene-in-SMEM table prep shared by the megakernel and the
+    wavefront kernel: Morton sort + block padding/poisoning + near-to-far
+    block ordering + per-block bound rows. Returns (table inputs,
+    block-row inputs, padded sphere count, padded triangle count)."""
+    tabs = []
+    blk_inputs = []
+    if n_pad:
+        stab = scene_tables_gm(scene) if gm else scene_tables(scene)
+        if blk:
+            lo, hi = _sphere_aabbs(scene)
+            perm = _morton_perm(lo, hi, scene.sphere_valid)
+            stab = stab[:, perm]
+            n_pad = _round_up(n_pad, blk)
+            stab = _pad_poison(stab, n_pad, _CCMR2)
+            valid = jnp.pad(scene.sphere_valid[perm],
+                            (0, n_pad - perm.shape[0]))
+            pad3 = ((0, n_pad - perm.shape[0]), (0, 0))
+            # near-to-far block ordering measured ~neutral-to-negative here
+            # (staggered respawn keeps blocks 'possible' regardless); only
+            # the streamed prep (wavefront regime) orders by distance
+            blk_inputs.append(_block_rows(jnp.pad(lo[perm], pad3),
+                                          jnp.pad(hi[perm], pad3),
+                                          valid, blk))
+        # The unroll groups read a full group past the last partial one:
+        # pad to an unroll multiple with poisoned columns (an OOB SMEM read
+        # on hardware silently returns garbage that could fabricate hits).
+        n_pad = _round_up(n_pad, unroll)
+        stab = _pad_poison(stab, n_pad, _CCMR2)
+        tabs.append(stab)
+    if m_pad:
+        ttab = tri_tables_gm(scene) if gm else tri_tables(scene)
+        if blk:
+            lo, hi = _tri_aabbs(scene)
+            perm = _morton_perm(lo, hi, scene.tri_valid)
+            ttab = ttab[:, perm]
+            m_pad = _round_up(m_pad, blk)
+            ttab = _pad_poison(ttab, m_pad, _TG1V)
+            valid = jnp.pad(scene.tri_valid[perm], (0, m_pad - perm.shape[0]))
+            pad3 = ((0, m_pad - perm.shape[0]), (0, 0))
+            blk_inputs.append(_block_rows(jnp.pad(lo[perm], pad3),
+                                          jnp.pad(hi[perm], pad3),
+                                          valid, blk))
+        m_pad = _round_up(m_pad, unroll)
+        ttab = _pad_poison(ttab, m_pad, _TG1V)
+        tabs.append(ttab)
+    return tabs, blk_inputs, n_pad, m_pad
+
+
+def _stream_scene_inputs(scene: Scene, gm: bool, stream: int, blk: int,
+                         origin, n_pad: int, m_pad: int):
+    """Streamed (HBM-resident) table prep shared by the megakernel and the
+    wavefront kernel: Morton sort + chunk padding + near-to-far chunk and
+    within-chunk block ordering + resident chunk bounds + block-row HBM
+    slabs. Returns (HBM tables, their specs, SMEM chunk-bound rows, block
+    HBM slabs, padded counts)."""
+    tabs = []
+    hbm_specs = []
+    cbnds = []
+    blk_hbm = []
+    if n_pad:
+        stab = scene_tables_gm(scene) if gm else scene_tables(scene)
+        lo, hi = _sphere_aabbs(scene)
+        perm = _morton_perm(lo, hi, scene.sphere_valid)
+        stab = stab[:, perm]
+        n_pad = _round_up(n_pad, stream)
+        stab = _pad_poison(stab, n_pad, _CCMR2)
+        valid = jnp.pad(scene.sphere_valid[perm], (0, n_pad - perm.shape[0]))
+        pad3 = ((0, n_pad - perm.shape[0]), (0, 0))
+        lo = jnp.pad(lo[perm], pad3)
+        hi = jnp.pad(hi[perm], pad3)
+        # chunks near-to-far globally; blocks near-to-far within each chunk
+        stab, lo, hi, valid = _near_to_far(stab, lo, hi, valid, stream,
+                                           origin)
+        if blk:
+            stab, lo, hi, valid = _near_to_far(
+                stab, lo, hi, valid, blk, origin, within=stream)
+        rows_pad = _round_up(stab.shape[0], 8)
+        stab = jnp.pad(stab, ((0, rows_pad - stab.shape[0]), (0, 0)))
+        tabs.append(stab)
+        hbm_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        cbnds.append(_block_rows(lo, hi, valid, stream))
+        if blk:
+            br = _block_rows(lo, hi, valid, blk)
+            blk_hbm.append(jnp.pad(br, ((0, 4), (0, 0))))
+    if m_pad:
+        ttab = tri_tables_gm(scene) if gm else tri_tables(scene)
+        lo, hi = _tri_aabbs(scene)
+        perm = _morton_perm(lo, hi, scene.tri_valid)
+        ttab = ttab[:, perm]
+        m_pad = _round_up(m_pad, stream)
+        ttab = _pad_poison(ttab, m_pad, _TG1V)
+        valid = jnp.pad(scene.tri_valid[perm], (0, m_pad - perm.shape[0]))
+        pad3 = ((0, m_pad - perm.shape[0]), (0, 0))
+        lo = jnp.pad(lo[perm], pad3)
+        hi = jnp.pad(hi[perm], pad3)
+        ttab, lo, hi, valid = _near_to_far(ttab, lo, hi, valid, stream,
+                                           origin)
+        if blk:
+            ttab, lo, hi, valid = _near_to_far(
+                ttab, lo, hi, valid, blk, origin, within=stream)
+        rows_pad = _round_up(ttab.shape[0], 8)
+        ttab = jnp.pad(ttab, ((0, rows_pad - ttab.shape[0]), (0, 0)))
+        tabs.append(ttab)
+        hbm_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        cbnds.append(_block_rows(lo, hi, valid, stream))
+        if blk:
+            br = _block_rows(lo, hi, valid, blk)
+            blk_hbm.append(jnp.pad(br, ((0, 4), (0, 0))))
+    return tabs, hbm_specs, cbnds, blk_hbm, n_pad, m_pad
 
 
 def _resolve_blk(scene: Scene, culling: Optional[bool],

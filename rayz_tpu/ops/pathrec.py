@@ -1222,12 +1222,21 @@ def _gather_rows_T_bwd(interpret, res, gT):
 gather_rows_T.defvjp(_gather_rows_T_fwd, _gather_rows_T_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows(tab, idx, interpret=False):
     """``tab[idx]`` ([P, C], [R] int32 -> [R, C]) with a Pallas forward and a
     transposed-contraction Pallas backward (cotangents scatter-add into
     ``tab``). Out-of-range idx (e.g. the replay's clamped miss slots) must be
-    pre-clamped to [0, P)."""
+    pre-clamped to [0, P). f64 tables bypass the MXU kernel (whose bf16
+    splits carry only f32-level precision) for an exact XLA gather — the
+    f64 path is the small oracle path, where the one-hot HBM traffic the
+    kernel avoids does not matter."""
+    if tab.dtype == jnp.float64:
+        return jnp.take(tab, idx, axis=0)
+    return _gather_rows_mxu(tab, idx, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows_mxu(tab, idx, interpret=False):
     return _gather_fwd(tab, idx, interpret)
 
 
@@ -1289,7 +1298,7 @@ def _gather_rows_bwd(interpret, res, g):
     return d_tabT.T[:p], _np.zeros(idx.shape, jax.dtypes.float0)
 
 
-gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+_gather_rows_mxu.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 # --------------------------------------------------------------------------

@@ -27,9 +27,8 @@ from .intersect import HitRecord
 
 __all__ = ["texture_value", "scatter", "sky_color", "schlick_reflectance"]
 
-# Checker textures reference child textures by handle and the reference
-# resolves them recursively through the pool (material.zig:37-38). In practice
-# nests are shallow; we unroll a fixed number of indirection levels.
+# Fallback chase depth for directly constructed Scenes (tex_depth == 0,
+# unknown). Builder scenes carry their exact static nest depth.
 MAX_TEXTURE_DEPTH = 4
 
 
@@ -38,13 +37,17 @@ def texture_value(scene: Scene, tex_idx: jnp.ndarray, point: jnp.ndarray) -> jnp
 
     Solid returns its color (material.zig:19-25). Checker selects the even/odd
     child by the parity of floor(p.x/s)+floor(p.y/s)+floor(p.z/s)
-    (material.zig:27-39); child handles are chased for up to
-    MAX_TEXTURE_DEPTH levels.
+    (material.zig:27-39). Child handles are chased for the scene's STATIC
+    ``tex_depth`` levels — the builder computes the exact maximum nest depth,
+    so this matches the reference's unbounded recursion for any expressible
+    scene (each level resolves in a fixed-count unrolled step, keeping the
+    whole evaluation reverse-differentiable, unlike a while_loop).
     """
+    levels = scene.tex_depth if scene.tex_depth > 0 else MAX_TEXTURE_DEPTH
     cur = tex_idx
     done = jnp.zeros(tex_idx.shape, dtype=bool)
     out = jnp.zeros((*tex_idx.shape, 3), dtype=point.dtype)
-    for _ in range(MAX_TEXTURE_DEPTH):
+    for _ in range(levels):
         kind = scene.tex_kind[cur]
         is_solid = kind == TEX_SOLID
         take = is_solid & ~done
@@ -57,7 +60,9 @@ def texture_value(scene: Scene, tex_idx: jnp.ndarray, point: jnp.ndarray) -> jnp
         even = (cells[..., 0] + cells[..., 1] + cells[..., 2]) % 2 == 0
         child = jnp.where(even, scene.tex_even[cur], scene.tex_odd[cur])
         cur = jnp.where(done, cur, child)
-    # Unresolved (deeper nest than unrolled): fall back to the node's color.
+    # Unresolved only for a directly constructed Scene whose nest exceeds
+    # the fallback depth: use the node's own color (builder scenes always
+    # resolve — levels is their exact maximum depth).
     return jnp.where(done[..., None], out, scene.tex_color[cur])
 
 

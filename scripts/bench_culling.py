@@ -68,6 +68,23 @@ def main() -> None:
             row["culling_on" if mode else "brute_force"] = round(
                 rays / dt / 1e6, 3)
         row["speedup"] = round(row["culling_on"] / row["brute_force"], 2)
+        # wavefront engine (sorted per-bounce coherence; the auto choice
+        # for streamed scenes — see ops/engine.pick_engine)
+        from rayz_tpu.ops.wavefront import render_wavefront
+
+        def run_wf(seed):
+            return jax.device_get(render_wavefront(
+                scene, camera, seed, config, tile_sublanes=32))
+
+        run_wf(0)
+        best = float("inf")
+        for s in (1, 2):
+            t0 = time.perf_counter()
+            run_wf(s)
+            best = min(best, time.perf_counter() - t0)
+        row["wavefront"] = round(rays / best / 1e6, 3)
+        row["best_speedup"] = round(
+            max(row["culling_on"], row["wavefront"]) / row["brute_force"], 2)
         print(json.dumps(row), flush=True)
         results.append(row)
     if args.out:

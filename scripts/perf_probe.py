@@ -54,7 +54,29 @@ def pad_spheres(scene, n_pad: int):
     )
 
 
+def bounce_counts() -> None:
+    """Exact executed-bounce statistics (PERF.md cornell per-bounce-parity
+    section): the wavefront engine's alive counters count one entry per
+    (ray, bounce) executed — mean path length = sum / camera rays."""
+    import numpy as np
+    from rayz_tpu.ops import wavefront as wf
+
+    for name in ("cornell_box", "random_bouncing"):
+        scene, cam = rt.scenes.SCENES[name](width=512)
+        _, counts = wf._render_wavefront_impl(
+            scene, cam, jnp.asarray(1), spp=8, max_depth=32, t_min=1e-3,
+            jitter=True, tile_sublanes=32, unroll=8, interpret=False,
+            blk=64, stream=0, sort=True, debug_counts=True)
+        c = np.asarray(jax.device_get(counts)).astype(float)
+        print(f"{name}: camera rays={int(c[0])} "
+              f"executed bounce-events={int(c.sum())} "
+              f"mean path={c.sum() / c[0]:.2f}")
+
+
 def main() -> None:
+    if "--bounces" in sys.argv:
+        bounce_counts()
+        return
     scene, camera = rt.scenes.random_bouncing(width=W, height=W)
     rays = W * W * SPP
     out = {"width": W, "spp": SPP, "depth_sweep": [], "n_sweep": []}

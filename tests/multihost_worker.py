@@ -59,6 +59,38 @@ full = multihost.assemble_global_image(img)
 
 # one recorded-engine train step over the global mesh (record kernel in
 # interpret mode per shard, psum'd gradients)
+# The persistent-path (recorded-pp) engine's kernels need the TPU-semantics
+# Pallas interpreter off-TPU, and that interpreter sizes its per-pallas_call
+# global barrier to the MESH device count (8) while each process only runs
+# its 4 local devices' callbacks — a guaranteed deadlock in multi-process
+# meshes (jax _src/pallas/mosaic/interpret/interpret_pallas_call.py:209,
+# threading.Barrier(num_devices)). Our kernels perform no cross-device
+# DMAs/semaphores, so the barrier only needs to span the LOCAL devices:
+# resize it after initialization. Test-infrastructure-only workaround for
+# the upstream interpreter limitation.
+import threading  # noqa: E402
+
+from jax._src.pallas.mosaic.interpret import (  # noqa: E402
+    interpret_pallas_call as _ipc)
+
+_orig_init_shm = _ipc._initialize_shared_memory
+
+
+def _patched_init_shm(device_id, num_devices, num_cores_per_device, *,
+                      interpret_params):
+    _orig_init_shm(device_id, num_devices, num_cores_per_device,
+                   interpret_params=interpret_params)
+    sm = _ipc._get_shared_memory()
+    n_local = len(jax.local_devices())
+    if sm.barrier.parties != n_local:
+        sm.barrier = threading.Barrier(
+            n_local, action=_ipc._update_clocks_for_global_barrier)
+        sm.clean_up_barrier = threading.Barrier(
+            n_local, action=_ipc._clear_shared_memory)
+
+
+_ipc._initialize_shared_memory = _patched_init_shm
+
 params = extract_params(scene, ("tex_color",))
 opt = optax.adam(1e-2)
 step = make_train_step(opt, cfg, mesh, engine="recorded")
@@ -67,10 +99,20 @@ params2, _, loss = step(params, opt.init(params), scene, cam,
                         jax.random.PRNGKey(1), target)
 loss = float(loss)
 
+# and the flagship gradient path: a persistent-path (recorded-pp) step
+# with leftover surfaced across processes (psum'd sample deficit)
+step_pp = make_train_step(opt, cfg, mesh, engine="recorded-pp",
+                          with_leftover=True)
+params3, _, loss_pp, left_pp = step_pp(params, opt.init(params), scene, cam,
+                                       jax.random.PRNGKey(1), target)
+loss_pp = float(loss_pp)
+left_pp = int(left_pp)
+
 if multihost.is_primary_host():
     assert full is not None and full.shape == (16, 16, 3)
-    np.savez(out, img=full, loss=loss,
-             tex_color=np.asarray(params2["tex_color"]))
+    np.savez(out, img=full, loss=loss, loss_pp=loss_pp, left_pp=left_pp,
+             tex_color=np.asarray(params2["tex_color"]),
+             tex_color_pp=np.asarray(params3["tex_color"]))
 else:
     # only host 0 gets the assembled image
     assert full is None

@@ -88,10 +88,15 @@ def scene_to_numpy(scene):
 
 
 def _texture_value(S, tex_idx, point):
+    # chase child handles until every lane lands on a solid — the
+    # reference's unbounded recursion (material.zig:37-51); builder texture
+    # graphs are acyclic, so table size bounds the depth
     out = np.zeros((tex_idx.shape[0], 3))
     cur = tex_idx.copy()
     done = np.zeros(tex_idx.shape[0], dtype=bool)
-    for _ in range(4):
+    for _ in range(max(4, len(S["tex_kind"]))):
+        if done.all():
+            break
         kind = S["tex_kind"][cur]
         solid = (kind == TEX_SOLID) & ~done
         out[solid] = S["tex_color"][cur[solid]]

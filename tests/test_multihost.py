@@ -106,6 +106,13 @@ def test_two_real_processes_loopback():
         # repo only — an inherited site dir (e.g. a TPU plugin autoloader)
         # would initialize the backend at import, before distributed init
         env["PYTHONPATH"] = repo
+        # persistent compile cache: the two workers compile identical
+        # 8-device programs; across test reruns (and for the second
+        # process when timing staggers) this cuts the dominant cost —
+        # interpret-mode kernel compilation — from ~20 min to seconds.
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+            tempfile.gettempdir(), "rayz_tpu_jax_cache")
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "5"
         procs = [subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port), out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -113,7 +120,7 @@ def test_two_real_processes_loopback():
         outputs = []
         for p in procs:
             try:
-                stdout, _ = p.communicate(timeout=600)
+                stdout, _ = p.communicate(timeout=1200)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
@@ -144,3 +151,8 @@ def test_two_real_processes_loopback():
                                 "dense"))
     assert abs(float(data["loss"]) - ref_loss) < 1e-6
     assert np.isfinite(data["tex_color"]).all()
+    # recorded-pp (persistent-path) step across the two processes: same
+    # deterministic loss, zero truncated samples, finite updated params
+    assert abs(float(data["loss_pp"]) - ref_loss) < 1e-5
+    assert int(data["left_pp"]) == 0
+    assert np.isfinite(data["tex_color_pp"]).all()

@@ -51,14 +51,14 @@ def test_default_iters_policy():
     assert default_iters(1, 32) == 32  # spp=1 always exact (hard cap)
     assert default_iters(8, 32) == 160  # measured leftover-0 flagship budget
     assert default_iters(64, 8) == 288
-    # compaction first-pass budget: ~mean iterations per slot (4*spp)
+    # compaction first-pass budget: ~mean iterations per slot (3.5*spp)
     assert default_k1(1, 32) == 16
-    assert default_k1(8, 32) == 32
-    assert default_k1(64, 8) == 256
+    assert default_k1(8, 32) == 28
+    assert default_k1(64, 8) == 224
     # schedule budgets sum to the exhaustive bound (per-slot guarantee)
     from rayz_tpu.ops.pathrec import default_schedule
     sch = default_schedule(8, 32, 262144, 2048)
-    assert sch == [(32, 262144), (32, 131072), (192, 16384)]
+    assert sch == [(28, 262144), (32, 131072), (196, 16384)]
     assert sum(k for k, _ in sch) == 8 * 32
     assert default_schedule(1, 32, 2048, 2048) == [(16, 2048), (16, 2048)]
 
@@ -217,6 +217,24 @@ def test_iteration_budget_truncation_reported():
     assert int(left2) == 0
 
 
+def test_fit_raises_on_truncation():
+    """The training API must never silently train on a truncated (biased)
+    recording: fit(engine='recorded-pp') with a starved explicit budget
+    raises with the measured deficit; strict=True (exhaustive single-pass
+    budget) always proceeds."""
+    from rayz_tpu.diff import fit
+
+    scene, cam = _metal_scene()
+    cfg = rt.RenderConfig(spp=4, max_depth=6, jitter=False)
+    target = jnp.zeros((16, 16, 3))
+    with pytest.raises(RuntimeError, match="truncated"):
+        fit(scene, cam, target, config=cfg, steps=1, engine="recorded-pp",
+            iters=1)
+    _, hist = fit(scene, cam, target, config=cfg, steps=1,
+                  engine="recorded-pp", strict=True)
+    assert len(hist) == 1 and np.isfinite(hist[0])
+
+
 def test_grad_matches_fd_albedo_and_center():
     """AD through replay_pp vs central finite differences of the SAME
     recording (f64): the recording is frozen, so this is exact estimator
@@ -264,6 +282,69 @@ def test_grad_matches_fd_albedo_and_center():
             fm[k] -= eps
             lm = float(loss({**params, field: jnp.asarray(
                 fm.reshape(params[field].shape))}))
+            fd = (lp - lm) / (2 * eps)
+            ad = g.ravel()[k]
+            assert abs(fd - ad) <= 1e-4 * max(1.0, abs(fd), abs(ad)), (
+                field, k, fd, ad)
+
+
+def test_velocity_grad_matches_fd_f64():
+    """Motion-blur (sphere_velocity) gradients: AD through replay_pp vs
+    central finite differences of the SAME recording at f64 / eps 1e-6,
+    where the estimator is locally smooth. The stubbed CPU PRNG records
+    tau = 0 (velocity would be invisible), so the recorded spawn-time plane
+    is bumped to 0.37 post-hoc — the replay differentiates whatever
+    recording it is given, and FD/AD must agree on it regardless."""
+    from jax.experimental.pallas import tpu as pltpu
+    from rayz_tpu.ops.integrator import _pixel_grid
+    from rayz_tpu.ops.pathrec import _AUX_TAU
+
+    b = rt.SceneBuilder()
+    m = b.add_metallic(color=(0.8, 0.7, 0.6), fuzz=0.0)
+    b.add_sphere((0, -100.5, -2), 100.0, m)
+    b.add_sphere((0, 0, -2), 0.5, m, velocity=(0.15, 0.1, -0.05))
+    scene = b.build(dtype=jnp.float64)
+    cam = rt.make_camera(width=16, height=16, vfov=55.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1),
+                         dtype=jnp.float64)
+    px, py = _pixel_grid(cam)
+    n = px.shape[0]
+    rs = max(1, -(-n // 128))
+    pad = rs * 128 - n
+    pxp = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
+    pyp = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+    idx, aux, left = record_pp(
+        scene, cam, 0, pxp.astype(jnp.float32), pyp.astype(jnp.float32), n,
+        spp=1, max_depth=4, t_min=1e-3, jitter=False, iters=8,
+        tile_sublanes=rs, interpret=pltpu.InterpretParams())
+    assert int(jnp.sum(left[:n])) == 0
+    aux = aux.at[:, _AUX_TAU].set(
+        jnp.where(aux[:, _AUX_TAU] == 0.0, 0.37, aux[:, _AUX_TAU]))
+
+    fields = ("sphere_velocity", "sphere_center")
+    params = extract_params(scene, fields)
+
+    def loss(p):
+        rad = replay_pp(inject_params(scene, p), idx, aux, t_min=1e-3,
+                        interpret=True)
+        return jnp.sum(rad[:n] ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert float(jnp.abs(grads["sphere_velocity"]).sum()) > 0
+    eps = 1e-6
+    for field in fields:
+        g = np.asarray(grads[field])
+        assert np.isfinite(g).all(), field
+        flat = np.asarray(params[field], dtype=np.float64).ravel()
+        for k in np.argsort(-np.abs(g.ravel()))[:3]:
+            fp = flat.copy()
+            fp[k] += eps
+            lp = float(loss({**params, field: jnp.asarray(
+                fp.reshape(g.shape))}))
+            fm = flat.copy()
+            fm[k] -= eps
+            lm = float(loss({**params, field: jnp.asarray(
+                fm.reshape(g.shape))}))
             fd = (lp - lm) / (2 * eps)
             ad = g.ravel()[k]
             assert abs(fd - ad) <= 1e-4 * max(1.0, abs(fd), abs(ad)), (
