@@ -54,9 +54,11 @@ def main(argv=None) -> int:
                    help="rays per chunk (memory bound)")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels over all visible devices")
-    p.add_argument("--engine", default="auto", choices=("auto", "pallas", "xla"),
-                   help="render engine: fused Pallas megakernel (TPU, sphere "
-                        "scenes) or the pure-XLA integrator")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "pallas", "wavefront", "xla"),
+                   help="render engine: fused Pallas megakernel (TPU), "
+                        "bounce-synchronous wavefront (TPU, large scenes), "
+                        "or the pure-XLA integrator; auto picks per scene")
     args = p.parse_args(argv)
 
     scene, camera = scenes.SCENES[args.scene](width=args.width,
