@@ -59,6 +59,12 @@ def main(argv=None) -> int:
                    help="render engine: fused Pallas megakernel (TPU), "
                         "bounce-synchronous wavefront (TPU, large scenes), "
                         "or the pure-XLA integrator; auto picks per scene")
+    p.add_argument("--progress", action="store_true",
+                   help="print in-render progress (reference "
+                        "renderer.zig:84 format) by accumulating spp "
+                        "progressively — a fused TPU render is one device "
+                        "call, so progress is reported per sample chunk "
+                        "instead of per row")
     args = p.parse_args(argv)
 
     scene, camera = scenes.SCENES[args.scene](width=args.width,
@@ -75,6 +81,31 @@ def main(argv=None) -> int:
             run = lambda: render_pallas_sharded(scene, camera, key, cfg, mesh)
         else:
             run = lambda: render_sharded_jit(scene, camera, key, cfg, mesh)
+    elif args.progress and args.spp > 1:
+        # progressive accumulation: n_chunks device calls, reference-format
+        # progress line between them (renderer.zig:84: "\rProgress: X.XX%"
+        # on stderr). Distribution is unchanged — chunk keys are folds of
+        # the run key and the chunks average with spp weights.
+        n_chunks = min(args.spp, 10)
+        base, extra = divmod(args.spp, n_chunks)
+        sizes = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+
+        def run():
+            acc = None
+            done = 0
+            for i, s in enumerate(sizes):
+                print(f"\rProgress: {100.0 * done / args.spp:.2f}%",
+                      end="", file=sys.stderr)
+                ccfg = RenderConfig(spp=s, max_depth=args.depth,
+                                    t_min=args.t_min,
+                                    chunk_size=args.chunk)
+                img = jax.device_get(render_fast(
+                    scene, camera, jax.random.fold_in(key, i), ccfg,
+                    engine=engine))
+                acc = img * s if acc is None else acc + img * s
+                done += s
+            print("\rProgress: 100.00%", file=sys.stderr)
+            return acc / args.spp
     else:
         run = lambda: render_fast(scene, camera, key, cfg, engine=engine)
 
