@@ -1506,7 +1506,7 @@ def _pp_step_c(st, row, aux, hit, miss, is_tri, *, has_motion, with_sph,
     return new_st, out_add
 
 
-_FUSED_IG = 8  # replay iterations per grid step (amortizes step overhead)
+_FUSED_IG = 8  # replay iterations per grid step (amortizes step overhead; 16 exceeds the fused backward VMEM stack)
 
 
 def _fused_fwd_kernel(rows_ref, aux_ref, idx_ref, st0_ref, out_ref,
