@@ -122,7 +122,8 @@ def supports_wavefront(scene: Scene) -> bool:
 
 def _wf_kernel(*args, n_pad: int, m_pad: int, spp_unused: int, t_min: float,
                has_motion: bool, rs: int, unroll: int, gm: bool, blk: int,
-               tree: bool, stream: int, stream_cull: bool):
+               tree: bool, stream: int, stream_cull: bool,
+               loop_bounces: int = 1):
     """One grid step = one bounce of one tile of rs*128 rays.
 
     Positional refs: seed [2] SMEM (seed, depth), gm globals [8] SMEM iff
@@ -200,396 +201,414 @@ def _wf_kernel(*args, n_pad: int, m_pad: int, spp_unused: int, t_min: float,
 
     @pl.when(any_alive)
     def _trace():
-        active = alive
-        ox, oy, oz = st_in[0], st_in[1], st_in[2]
-        dx, dy, dz = st_in[3], st_in[4], st_in[5]
-        tau = st_in[6]
-        thx, thy, thz = st_in[7], st_in[8], st_in[9]
-        zf = jnp.zeros(shape, f32)
-        if gm:
-            (g_isc, g_evr, g_evg, g_evb, g_odr, g_odg, g_odb,
-             g_ior) = [glob_ref[i] for i in range(8)]
+        zf0 = jnp.zeros(shape, f32)
+        state0 = (st_in[0], st_in[1], st_in[2], st_in[3], st_in[4],
+                  st_in[5], st_in[6], st_in[7], st_in[8], st_in[9],
+                  alive.astype(i32), zf0, zf0, zf0, jnp.int32(0))
 
-        # ---- nearest-hit sweep (megakernel one_sphere/one_triangle /
-        # _culled_loop / _stream_loop in single-bounce form) ----
-        a = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a
-        d_dot_o = dx * ox + dy * oy + dz * oz
-        o2 = ox * ox + oy * oy + oz * oz
-        tmin_a = t_min * a
-        if has_motion:
-            tau2 = tau * tau
-
-        # Tile origin bound (center + radius): the sweep visits clusters
-        # OVERLAPPING this bound first ("local-first"), so qb collapses on
-        # the tile's own neighborhood before the global near-to-far pass —
-        # for secondary bounces the nearest hit is almost always local in a
-        # dense scene, and the camera-ordered global pass would otherwise
-        # leave qb at +BIG through most of the sweep.
-        inf = jnp.float32(3e38)
-        tcx = 0.5 * (jnp.min(jnp.where(alive, ox, inf))
-                     + jnp.max(jnp.where(alive, ox, -inf)))
-        tcy = 0.5 * (jnp.min(jnp.where(alive, oy, inf))
-                     + jnp.max(jnp.where(alive, oy, -inf)))
-        tcz = 0.5 * (jnp.min(jnp.where(alive, oz, inf))
-                     + jnp.max(jnp.where(alive, oz, -inf)))
-        tile_r = jnp.sqrt(jnp.max(jnp.where(
-            alive, (ox - tcx) ** 2 + (oy - tcy) ** 2 + (oz - tcz) ** 2,
-            0.0)))
-
-        def is_near(bx, by, bz, ccb):
-            # bound-sphere radius from the (c, |c|^2 - r^2) row form
-            br = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz - ccb,
-                                      0.0))
-            d2 = ((bx - tcx) ** 2 + (by - tcy) ** 2 + (bz - tcz) ** 2)
-            lim = tile_r + br
-            return d2 <= lim * lim
-
-        n_attrs = 4 if gm else 9
-        hit0 = (jnp.full(shape, _BIG, f32), zf, zf, zf) + (zf,) * n_attrs
-
-        def sphere_attr_rows(j):
+        def _step(state):
+            (ox, oy, oz, dx, dy, dz, tau, thx, thy, thz,
+             active_i, ar, ag, ab, it) = state
+            active = active_i > 0
+            zf = jnp.zeros(shape, f32)
             if gm:
-                return [tab_ref[_GPKF, j], tab_ref[_GALR, j],
-                        tab_ref[_GALG, j], tab_ref[_GALB, j]]
-            return [tab_ref[_PKF, j], tab_ref[_IOS, j],
-                    tab_ref[_EVR, j], tab_ref[_EVG, j], tab_ref[_EVB, j],
-                    tab_ref[_ODR, j], tab_ref[_ODG, j], tab_ref[_ODB, j],
-                    0.0]
+                (g_isc, g_evr, g_evg, g_evb, g_odr, g_odg, g_odb,
+                 g_ior) = [glob_ref[i] for i in range(8)]
 
-        def tri_attr_rows(j):
-            if gm:
-                return [tri_ref[_TGPKF, j], tri_ref[_TGALR, j],
-                        tri_ref[_TGALG, j], tri_ref[_TGALB, j]]
-            return [tri_ref[_TPKF, j], tri_ref[_TIOS, j],
-                    tri_ref[_TEVR, j], tri_ref[_TEVG, j], tri_ref[_TEVB, j],
-                    tri_ref[_TODR, j], tri_ref[_TODG, j], tri_ref[_TODB, j],
-                    1.0]
-
-        def sphere_candidate(j):
-            cx = tab_ref[_CX, j]
-            cy = tab_ref[_CY, j]
-            cz = tab_ref[_CZ, j]
-            ccmr2 = tab_ref[_CCMR2, j]
+            # ---- nearest-hit sweep (megakernel one_sphere/one_triangle /
+            # _culled_loop / _stream_loop in single-bounce form) ----
+            a = dx * dx + dy * dy + dz * dz
+            inv_a = 1.0 / a
+            d_dot_o = dx * ox + dy * oy + dz * oz
+            o2 = ox * ox + oy * oy + oz * oz
+            tmin_a = t_min * a
             if has_motion:
-                cxe = cx + tau * tab_ref[_VX, j]
-                cye = cy + tau * tab_ref[_VY, j]
-                cze = cz + tau * tab_ref[_VZ, j]
-                ccmr2 = (ccmr2 + tab_ref[_CV2, j] * tau
-                         + tab_ref[_VV, j] * tau2)
-            else:
-                cxe, cye, cze = cx, cy, cz
-            half_b = dx * cxe + dy * cye + dz * cze - d_dot_o
-            o_dot_c = ox * cxe + oy * cye + oz * cze
-            c_term = ccmr2 - 2.0 * o_dot_c + o2
-            disc = half_b * half_b - a * c_term
-            rt = jnp.sqrt(disc)  # NaN on miss -> compares false
-            q1 = half_b - rt
-            q2 = half_b + rt
-            qv = jnp.where(q1 >= tmin_a, q1, q2)
-            qv = jnp.where(qv >= tmin_a, qv, _BIG)
-            return (qv, cxe, cye, cze, *sphere_attr_rows(j))
+                tau2 = tau * tau
 
-        def tri_candidate(j):
-            tnx = tri_ref[_TNX, j]
-            tny = tri_ref[_TNY, j]
-            tnz = tri_ref[_TNZ, j]
-            ndd = dx * tnx + dy * tny + dz * tnz
-            ndo = ox * tnx + oy * tny + oz * tnz
-            r0 = pl.reciprocal(ndd, approx=True)
-            rcp = r0 * (2.0 - ndd * r0)
-            tt = (tri_ref[_TNV0, j] - ndo) * rcp
-            qv = tt * a
-            g1x, g1y, g1z = (tri_ref[_TG1X, j], tri_ref[_TG1Y, j],
-                             tri_ref[_TG1Z, j])
-            g2x, g2y, g2z = (tri_ref[_TG2X, j], tri_ref[_TG2Y, j],
-                             tri_ref[_TG2Z, j])
-            hx = ox + tt * dx
-            hy = oy + tt * dy
-            hz = oz + tt * dz
-            u = g1x * hx + g1y * hy + g1z * hz - tri_ref[_TG1V, j]
-            v = g2x * hx + g2y * hy + g2z * hz - tri_ref[_TG2V, j]
-            ok = ((qv >= tmin_a) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
-            qv = jnp.where(ok, qv, _BIG)
-            return (qv, tnx, tny, tnz, *tri_attr_rows(j))
+            # Tile origin bound (center + radius): the sweep visits clusters
+            # OVERLAPPING this bound first ("local-first"), so qb collapses on
+            # the tile's own neighborhood before the global near-to-far pass —
+            # for secondary bounces the nearest hit is almost always local in a
+            # dense scene, and the camera-ordered global pass would otherwise
+            # leave qb at +BIG through most of the sweep.
+            inf = jnp.float32(3e38)
+            tcx = 0.5 * (jnp.min(jnp.where(alive, ox, inf))
+                         + jnp.max(jnp.where(alive, ox, -inf)))
+            tcy = 0.5 * (jnp.min(jnp.where(alive, oy, inf))
+                         + jnp.max(jnp.where(alive, oy, -inf)))
+            tcz = 0.5 * (jnp.min(jnp.where(alive, oz, inf))
+                         + jnp.max(jnp.where(alive, oz, -inf)))
+            tile_r = jnp.sqrt(jnp.max(jnp.where(
+                alive, (ox - tcx) ** 2 + (oy - tcy) ** 2 + (oz - tcz) ** 2,
+                0.0)))
 
-        def merge(c1, c2):
-            b = c2[0] < c1[0]
-            return tuple(jnp.where(b, f2, f1) for f1, f2 in zip(c1, c2))
+            def is_near(bx, by, bz, ccb):
+                # bound-sphere radius from the (c, |c|^2 - r^2) row form
+                br = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz - ccb,
+                                          0.0))
+                d2 = ((bx - tcx) ** 2 + (by - tcy) ** 2 + (bz - tcz) ** 2)
+                lim = tile_r + br
+                return d2 <= lim * lim
 
-        def tree_group(cand_fn):
-            def group(g, h):
-                cands = [cand_fn(unroll * g + k) for k in range(unroll)]
-                while len(cands) > 1:
-                    nxt = [merge(cands[2 * k], cands[2 * k + 1])
-                           for k in range(len(cands) // 2)]
-                    if len(cands) % 2:
-                        nxt.append(cands[-1])
-                    cands = nxt
-                return merge(h, cands[0])
-            return group
+            n_attrs = 4 if gm else 9
+            hit0 = (jnp.full(shape, _BIG, f32), zf, zf, zf) + (zf,) * n_attrs
 
-        def _culled_loop(h, n_items, blk_ref, group_fn, two_pass=True):
-            gpb = blk // unroll
+            def sphere_attr_rows(j):
+                if gm:
+                    return [tab_ref[_GPKF, j], tab_ref[_GALR, j],
+                            tab_ref[_GALG, j], tab_ref[_GALB, j]]
+                return [tab_ref[_PKF, j], tab_ref[_IOS, j],
+                        tab_ref[_EVR, j], tab_ref[_EVG, j], tab_ref[_EVB, j],
+                        tab_ref[_ODR, j], tab_ref[_ODG, j], tab_ref[_ODB, j],
+                        0.0]
 
-            def block_body(i, h, want_near=None):
-                qb = h[0]
-                bx = blk_ref[0, i]
-                by = blk_ref[1, i]
-                bz = blk_ref[2, i]
-                ccb = blk_ref[3, i]
-                hb = dx * bx + dy * by + dz * bz - d_dot_o
-                ob = ox * bx + oy * by + oz * bz
-                disc = hb * hb - a * (ccb - 2.0 * ob + o2)
-                rtb = jnp.sqrt(disc)
-                possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
-                sel = jnp.any(possible)
-                if want_near is not None:
-                    near = is_near(bx, by, bz, ccb)
-                    sel = sel & (near if want_near else jnp.logical_not(near))
+            def tri_attr_rows(j):
+                if gm:
+                    return [tri_ref[_TGPKF, j], tri_ref[_TGALR, j],
+                            tri_ref[_TGALG, j], tri_ref[_TGALB, j]]
+                return [tri_ref[_TPKF, j], tri_ref[_TIOS, j],
+                        tri_ref[_TEVR, j], tri_ref[_TEVG, j], tri_ref[_TEVB, j],
+                        tri_ref[_TODR, j], tri_ref[_TODG, j], tri_ref[_TODB, j],
+                        1.0]
 
-                def run(h):
-                    return jax.lax.fori_loop(
-                        0, gpb, lambda k, h: group_fn(i * gpb + k, h), h)
+            def sphere_candidate(j):
+                cx = tab_ref[_CX, j]
+                cy = tab_ref[_CY, j]
+                cz = tab_ref[_CZ, j]
+                ccmr2 = tab_ref[_CCMR2, j]
+                if has_motion:
+                    cxe = cx + tau * tab_ref[_VX, j]
+                    cye = cy + tau * tab_ref[_VY, j]
+                    cze = cz + tau * tab_ref[_VZ, j]
+                    ccmr2 = (ccmr2 + tab_ref[_CV2, j] * tau
+                             + tab_ref[_VV, j] * tau2)
+                else:
+                    cxe, cye, cze = cx, cy, cz
+                half_b = dx * cxe + dy * cye + dz * cze - d_dot_o
+                o_dot_c = ox * cxe + oy * cye + oz * cze
+                c_term = ccmr2 - 2.0 * o_dot_c + o2
+                disc = half_b * half_b - a * c_term
+                rt = jnp.sqrt(disc)  # NaN on miss -> compares false
+                q1 = half_b - rt
+                q2 = half_b + rt
+                qv = jnp.where(q1 >= tmin_a, q1, q2)
+                qv = jnp.where(qv >= tmin_a, qv, _BIG)
+                return (qv, cxe, cye, cze, *sphere_attr_rows(j))
 
-                return jax.lax.cond(sel, run, lambda h: h, h)
+            def tri_candidate(j):
+                tnx = tri_ref[_TNX, j]
+                tny = tri_ref[_TNY, j]
+                tnz = tri_ref[_TNZ, j]
+                ndd = dx * tnx + dy * tny + dz * tnz
+                ndo = ox * tnx + oy * tny + oz * tnz
+                r0 = pl.reciprocal(ndd, approx=True)
+                rcp = r0 * (2.0 - ndd * r0)
+                tt = (tri_ref[_TNV0, j] - ndo) * rcp
+                qv = tt * a
+                g1x, g1y, g1z = (tri_ref[_TG1X, j], tri_ref[_TG1Y, j],
+                                 tri_ref[_TG1Z, j])
+                g2x, g2y, g2z = (tri_ref[_TG2X, j], tri_ref[_TG2Y, j],
+                                 tri_ref[_TG2Z, j])
+                hx = ox + tt * dx
+                hy = oy + tt * dy
+                hz = oz + tt * dz
+                u = g1x * hx + g1y * hy + g1z * hz - tri_ref[_TG1V, j]
+                v = g2x * hx + g2y * hy + g2z * hz - tri_ref[_TG2V, j]
+                ok = ((qv >= tmin_a) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+                qv = jnp.where(ok, qv, _BIG)
+                return (qv, tnx, tny, tnz, *tri_attr_rows(j))
 
-            nb = n_items // blk
-            if not two_pass:
-                return jax.lax.fori_loop(0, nb, block_body, h)
-            h = jax.lax.fori_loop(
-                0, nb, lambda i, h: block_body(i, h, want_near=True), h)
-            return jax.lax.fori_loop(
-                0, nb, lambda i, h: block_body(i, h, want_near=False), h)
+            def merge(c1, c2):
+                b = c2[0] < c1[0]
+                return tuple(jnp.where(b, f2, f1) for f1, f2 in zip(c1, c2))
 
-        def _stream_loop(h, n_items, hbm_ref, cbnd_ref, blkh_ref, sc_ref,
-                         blk_sc, sem_slot, group_fn):
-            n_chunks = n_items // stream
+            def tree_group(cand_fn):
+                def group(g, h):
+                    cands = [cand_fn(unroll * g + k) for k in range(unroll)]
+                    while len(cands) > 1:
+                        nxt = [merge(cands[2 * k], cands[2 * k + 1])
+                               for k in range(len(cands) // 2)]
+                        if len(cands) % 2:
+                            nxt.append(cands[-1])
+                        cands = nxt
+                    return merge(h, cands[0])
+                return group
 
-            def chunk_body(c, h, want_near):
-                cp = pltpu.make_async_copy(
-                    hbm_ref.at[:, pl.ds(c * stream, stream)], sc_ref,
-                    sem_ref.at[sem_slot])
-                cp.start()
-                if blk:
-                    nb = stream // blk
-                    cp2 = pltpu.make_async_copy(
-                        blkh_ref.at[:, pl.ds(c * nb, nb)], blk_sc,
-                        sem_ref.at[sem_slot + 1])
-                    cp2.start()
-                qb = h[0]
-                bx = cbnd_ref[0, c]
-                by = cbnd_ref[1, c]
-                bz = cbnd_ref[2, c]
-                ccb = cbnd_ref[3, c]
-                hb = dx * bx + dy * by + dz * bz - d_dot_o
-                ob = ox * bx + oy * by + oz * bz
-                disc = hb * hb - a * (ccb - 2.0 * ob + o2)
-                rtb = jnp.sqrt(disc)
-                possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
-                sel = jnp.any(possible)
-                if want_near is not None:
-                    near = is_near(bx, by, bz, ccb)
-                    sel = sel & (near if want_near else jnp.logical_not(near))
-                cp.wait()
-                if blk:
-                    cp2.wait()
+            def _culled_loop(h, n_items, blk_ref, group_fn, two_pass=True):
+                gpb = blk // unroll
 
-                def run(h):
+                def block_body(i, h, want_near=None):
+                    qb = h[0]
+                    bx = blk_ref[0, i]
+                    by = blk_ref[1, i]
+                    bz = blk_ref[2, i]
+                    ccb = blk_ref[3, i]
+                    hb = dx * bx + dy * by + dz * bz - d_dot_o
+                    ob = ox * bx + oy * by + oz * bz
+                    disc = hb * hb - a * (ccb - 2.0 * ob + o2)
+                    rtb = jnp.sqrt(disc)
+                    possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
+                    sel = jnp.any(possible)
+                    if want_near is not None:
+                        near = is_near(bx, by, bz, ccb)
+                        sel = sel & (near if want_near else jnp.logical_not(near))
+
+                    def run(h):
+                        return jax.lax.fori_loop(
+                            0, gpb, lambda k, h: group_fn(i * gpb + k, h), h)
+
+                    return jax.lax.cond(sel, run, lambda h: h, h)
+
+                nb = n_items // blk
+                if not two_pass:
+                    return jax.lax.fori_loop(0, nb, block_body, h)
+                h = jax.lax.fori_loop(
+                    0, nb, lambda i, h: block_body(i, h, want_near=True), h)
+                return jax.lax.fori_loop(
+                    0, nb, lambda i, h: block_body(i, h, want_near=False), h)
+
+            def _stream_loop(h, n_items, hbm_ref, cbnd_ref, blkh_ref, sc_ref,
+                             blk_sc, sem_slot, group_fn):
+                n_chunks = n_items // stream
+
+                def chunk_body(c, h, want_near):
+                    cp = pltpu.make_async_copy(
+                        hbm_ref.at[:, pl.ds(c * stream, stream)], sc_ref,
+                        sem_ref.at[sem_slot])
+                    cp.start()
                     if blk:
-                        # within-chunk blocks are local by construction:
-                        # single near-to-far pass
-                        return _culled_loop(h, stream, blk_sc, group_fn,
-                                            two_pass=False)
-                    return jax.lax.fori_loop(
-                        0, stream // unroll, group_fn, h)
+                        nb = stream // blk
+                        cp2 = pltpu.make_async_copy(
+                            blkh_ref.at[:, pl.ds(c * nb, nb)], blk_sc,
+                            sem_ref.at[sem_slot + 1])
+                        cp2.start()
+                    qb = h[0]
+                    bx = cbnd_ref[0, c]
+                    by = cbnd_ref[1, c]
+                    bz = cbnd_ref[2, c]
+                    ccb = cbnd_ref[3, c]
+                    hb = dx * bx + dy * by + dz * bz - d_dot_o
+                    ob = ox * bx + oy * by + oz * bz
+                    disc = hb * hb - a * (ccb - 2.0 * ob + o2)
+                    rtb = jnp.sqrt(disc)
+                    possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
+                    sel = jnp.any(possible)
+                    if want_near is not None:
+                        near = is_near(bx, by, bz, ccb)
+                        sel = sel & (near if want_near else jnp.logical_not(near))
+                    cp.wait()
+                    if blk:
+                        cp2.wait()
+
+                    def run(h):
+                        if blk:
+                            # within-chunk blocks are local by construction:
+                            # single near-to-far pass
+                            return _culled_loop(h, stream, blk_sc, group_fn,
+                                                two_pass=False)
+                        return jax.lax.fori_loop(
+                            0, stream // unroll, group_fn, h)
+
+                    if not stream_cull:
+                        return run(h)
+                    return jax.lax.cond(sel, run, lambda h: h, h)
 
                 if not stream_cull:
-                    return run(h)
-                return jax.lax.cond(sel, run, lambda h: h, h)
-
-            if not stream_cull:
+                    return jax.lax.fori_loop(
+                        0, n_chunks, lambda c, h: chunk_body(c, h, None), h)
+                h = jax.lax.fori_loop(
+                    0, n_chunks, lambda c, h: chunk_body(c, h, True), h)
+                import os as _os
+                if _os.environ.get("WF_SKIP_PASS2"):
+                    return h
                 return jax.lax.fori_loop(
-                    0, n_chunks, lambda c, h: chunk_body(c, h, None), h)
-            h = jax.lax.fori_loop(
-                0, n_chunks, lambda c, h: chunk_body(c, h, True), h)
-            import os as _os
-            if _os.environ.get("WF_SKIP_PASS2"):
-                return h
-            return jax.lax.fori_loop(
-                0, n_chunks, lambda c, h: chunk_body(c, h, False), h)
+                    0, n_chunks, lambda c, h: chunk_body(c, h, False), h)
 
-        sph_group = tree_group(sphere_candidate)
-        tri_group = tree_group(tri_candidate)
+            sph_group = tree_group(sphere_candidate)
+            tri_group = tree_group(tri_candidate)
 
-        h = hit0
-        if n_pad:
-            if stream:
-                h = _stream_loop(h, n_pad, s_hbm, s_cbnd, s_blkh, tab_ref,
-                                 sblk_ref, 0, sph_group)
-            elif blk:
-                h = _culled_loop(h, n_pad, sblk_ref, sph_group)
+            h = hit0
+            if n_pad:
+                if stream:
+                    h = _stream_loop(h, n_pad, s_hbm, s_cbnd, s_blkh, tab_ref,
+                                     sblk_ref, 0, sph_group)
+                elif blk:
+                    h = _culled_loop(h, n_pad, sblk_ref, sph_group)
+                else:
+                    h = jax.lax.fori_loop(
+                        0, (n_pad + unroll - 1) // unroll, sph_group, h)
+            if m_pad:
+                if stream:
+                    h = _stream_loop(h, m_pad, t_hbm, t_cbnd, t_blkh, tri_ref,
+                                     tblk_ref, 2, tri_group)
+                elif blk:
+                    h = _culled_loop(h, m_pad, tblk_ref, tri_group)
+                else:
+                    h = jax.lax.fori_loop(
+                        0, (m_pad + unroll - 1) // unroll, tri_group, h)
+            qb, bcx, bcy, bcz = h[:4]
+            bpk = h[4]
+
+            # ---- decode + shade (megakernel's block, single-bounce) ----
+            hit = qb < _BIG
+            ts = jnp.where(hit, qb * inv_a, 1.0)
+            bkm = jnp.floor(bpk * 0.25)
+            bfz = (bpk - 4.0 * bkm) * 0.5
+            if gm:
+                flags = jnp.floor(bkm * (1.0 / 16.0))
+                bkm = bkm - 16.0 * flags
+                btri = jnp.floor(flags * 0.5)
+                ischk = flags - 2.0 * btri
             else:
-                h = jax.lax.fori_loop(
-                    0, (n_pad + unroll - 1) // unroll, sph_group, h)
-        if m_pad:
-            if stream:
-                h = _stream_loop(h, m_pad, t_hbm, t_cbnd, t_blkh, tri_ref,
-                                 tblk_ref, 2, tri_group)
-            elif blk:
-                h = _culled_loop(h, m_pad, tblk_ref, tri_group)
+                btri = h[12]
+            px_ = ox + ts * dx
+            py_ = oy + ts * dy
+            pz_ = oz + ts * dz
+
+            if m_pad and n_pad:
+                is_tri = btri > 0.5
+                nx = jnp.where(is_tri, bcx, px_ - bcx)
+                ny = jnp.where(is_tri, bcy, py_ - bcy)
+                nz = jnp.where(is_tri, bcz, pz_ - bcz)
+            elif m_pad:
+                nx, ny, nz = bcx, bcy, bcz
             else:
-                h = jax.lax.fori_loop(
-                    0, (m_pad + unroll - 1) // unroll, tri_group, h)
-        qb, bcx, bcy, bcz = h[:4]
-        bpk = h[4]
+                nx = px_ - bcx
+                ny = py_ - bcy
+                nz = pz_ - bcz
+            ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+            nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+            ndd = nx * dx + ny * dy + nz * dz
+            front = ndd < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
 
-        # ---- decode + shade (megakernel's block, single-bounce) ----
-        hit = qb < _BIG
-        ts = jnp.where(hit, qb * inv_a, 1.0)
-        bkm = jnp.floor(bpk * 0.25)
-        bfz = (bpk - 4.0 * bkm) * 0.5
-        if gm:
-            flags = jnp.floor(bkm * (1.0 / 16.0))
-            bkm = bkm - 16.0 * flags
-            btri = jnp.floor(flags * 0.5)
-            ischk = flags - 2.0 * btri
+            kind = jnp.floor(bkm * 0.25)
+            method = bkm - 4.0 * kind
+            is_d_kind = kind == float(MAT_DIELECTRIC)
+            if gm:
+                bio = g_ior
+                par = (jnp.floor(px_ * g_isc) + jnp.floor(py_ * g_isc)
+                       + jnp.floor(pz_ * g_isc))
+                even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
+                chk = ischk > 0.5
+                alr = jnp.where(chk, jnp.where(even_par, g_evr, g_odr), h[5])
+                alg = jnp.where(chk, jnp.where(even_par, g_evg, g_odg), h[6])
+                alb = jnp.where(chk, jnp.where(even_par, g_evb, g_odb), h[7])
+            else:
+                bios = h[5]
+                ber, beg, beb, bor_, bog, bob = h[6:12]
+                bio = bios
+                bsc = jnp.where(is_d_kind, 1.0, bios)
+                isc = 1.0 / bsc
+                par = (jnp.floor(px_ * isc) + jnp.floor(py_ * isc)
+                       + jnp.floor(pz_ * isc))
+                even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
+                alr = jnp.where(even_par, ber, bor_)
+                alg = jnp.where(even_par, beg, bog)
+                alb = jnp.where(even_par, beb, bob)
+
+            # ---- diffuse ----
+            ux, uy, uz = unit3()
+            cb = jnp.exp(jnp.log(jnp.maximum(uniform(), 1e-24)) * (1.0 / 3.0))
+            sx, sy, sz = ux * cb, uy * cb, uz * cb
+            flip = jnp.where(sx * nx + sy * ny + sz * nz > 0.0, 1.0, -1.0)
+            m0 = method == 0.0
+            m1 = method == 1.0
+            offx = jnp.where(m0, nx + sx, jnp.where(m1, nx + ux, sx * flip))
+            offy = jnp.where(m0, ny + sy, jnp.where(m1, ny + uy, sy * flip))
+            offz = jnp.where(m0, nz + sz, jnp.where(m1, nz + uz, sz * flip))
+            tgx, tgy, tgz = px_ + offx, py_ + offy, pz_ + offz
+            nz_tgt = ((jnp.abs(tgx) <= 1e-8) & (jnp.abs(tgy) <= 1e-8)
+                      & (jnp.abs(tgz) <= 1e-8))
+            tgx = jnp.where(nz_tgt, nx, tgx)
+            tgy = jnp.where(nz_tgt, ny, tgy)
+            tgz = jnp.where(nz_tgt, nz, tgz)
+            difx, dify, difz = tgx - px_, tgy - py_, tgz - pz_
+
+            # ---- metallic ----
+            two_ndd = 2.0 * (dx * nx + dy * ny + dz * nz)
+            rfx = dx - two_ndd * nx
+            rfy = dy - two_ndd * ny
+            rfz = dz - two_ndd * nz
+            rinv = jax.lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz,
+                                             1e-24))
+            fz = jnp.minimum(bfz, 1.0)
+            mex = rfx * rinv + fz * ux
+            mey = rfy * rinv + fz * uy
+            mez = rfz * rinv + fz * uz
+            metal_ok = mex * nx + mey * ny + mez * nz > 0.0
+
+            # ---- dielectric ----
+            eta = jnp.where(front, 1.0 / bio, bio)
+            dinv = jax.lax.rsqrt(jnp.maximum(a, 1e-24))
+            udx, udy, udz = dx * dinv, dy * dinv, dz * dinv
+            cos_t = -(udx * nx + udy * ny + udz * nz)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            cannot = eta * sin_t > 1.0
+            r0 = (1.0 - eta) / (1.0 + eta)
+            r0 = r0 * r0
+            om = 1.0 - cos_t
+            om2 = om * om
+            refl_p = r0 + (1.0 - r0) * om2 * om2 * om
+            do_refl = cannot | (refl_p > uniform())
+            ppx = (udx + cos_t * nx) * eta
+            ppy = (udy + cos_t * ny) * eta
+            ppz = (udz + cos_t * nz) * eta
+            parm = -jnp.sqrt(jnp.maximum(
+                1.0 - (ppx * ppx + ppy * ppy + ppz * ppz), 0.0))
+            dlx = jnp.where(do_refl, rfx, ppx + parm * nx)
+            dly = jnp.where(do_refl, rfy, ppy + parm * ny)
+            dlz = jnp.where(do_refl, rfz, ppz + parm * nz)
+
+            # ---- select + continue/die ----
+            is_m = kind == float(MAT_METALLIC)
+            is_d = is_d_kind
+            ndirx = jnp.where(is_d, dlx, jnp.where(is_m, mex, difx))
+            ndiry = jnp.where(is_d, dly, jnp.where(is_m, mey, dify))
+            ndirz = jnp.where(is_d, dlz, jnp.where(is_m, mez, difz))
+            atr = jnp.where(is_d, 1.0, alr)
+            atg = jnp.where(is_d, 1.0, alg)
+            atb = jnp.where(is_d, 1.0, alb)
+            nd2 = ndirx * ndirx + ndiry * ndiry + ndirz * ndirz
+            scattered = ((~is_m) | metal_ok) & (nd2 > 1e-20)
+
+            # ---- miss -> sky, weighted by throughput ----
+            sky_t = 0.5 * (dy * dinv + 1.0)
+            skyr = (1.0 - sky_t + 0.5) * sky_t
+            skyg = (1.0 - sky_t + 0.7) * sky_t
+            skyb = (1.0 - sky_t + 1.0) * sky_t
+            miss = active & ~hit
+            ar = ar + jnp.where(miss, thx * skyr, zf)
+            ag = ag + jnp.where(miss, thy * skyg, zf)
+            ab = ab + jnp.where(miss, thz * skyb, zf)
+
+            cont = active & hit & scattered
+            return (jnp.where(cont, px_, ox), jnp.where(cont, py_, oy),
+                    jnp.where(cont, pz_, oz),
+                    jnp.where(cont, ndirx, dx), jnp.where(cont, ndiry, dy),
+                    jnp.where(cont, ndirz, dz), tau,
+                    jnp.where(cont, thx * atr, thx),
+                    jnp.where(cont, thy * atg, thy),
+                    jnp.where(cont, thz * atb, thz),
+                    cont.astype(i32), ar, ag, ab, it + 1)
+
+        if loop_bounces == 1:
+            fin = _step(state0)
         else:
-            btri = h[12]
-        px_ = ox + ts * dx
-        py_ = oy + ts * dy
-        pz_ = oz + ts * dz
-
-        if m_pad and n_pad:
-            is_tri = btri > 0.5
-            nx = jnp.where(is_tri, bcx, px_ - bcx)
-            ny = jnp.where(is_tri, bcy, py_ - bcy)
-            nz = jnp.where(is_tri, bcz, pz_ - bcz)
-        elif m_pad:
-            nx, ny, nz = bcx, bcy, bcz
-        else:
-            nx = px_ - bcx
-            ny = py_ - bcy
-            nz = pz_ - bcz
-        ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
-        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
-        ndd = nx * dx + ny * dy + nz * dz
-        front = ndd < 0.0
-        sgn = jnp.where(front, 1.0, -1.0)
-        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-
-        kind = jnp.floor(bkm * 0.25)
-        method = bkm - 4.0 * kind
-        is_d_kind = kind == float(MAT_DIELECTRIC)
-        if gm:
-            bio = g_ior
-            par = (jnp.floor(px_ * g_isc) + jnp.floor(py_ * g_isc)
-                   + jnp.floor(pz_ * g_isc))
-            even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
-            chk = ischk > 0.5
-            alr = jnp.where(chk, jnp.where(even_par, g_evr, g_odr), h[5])
-            alg = jnp.where(chk, jnp.where(even_par, g_evg, g_odg), h[6])
-            alb = jnp.where(chk, jnp.where(even_par, g_evb, g_odb), h[7])
-        else:
-            bios = h[5]
-            ber, beg, beb, bor_, bog, bob = h[6:12]
-            bio = bios
-            bsc = jnp.where(is_d_kind, 1.0, bios)
-            isc = 1.0 / bsc
-            par = (jnp.floor(px_ * isc) + jnp.floor(py_ * isc)
-                   + jnp.floor(pz_ * isc))
-            even_par = par - 2.0 * jnp.floor(par * 0.5) < 0.5
-            alr = jnp.where(even_par, ber, bor_)
-            alg = jnp.where(even_par, beg, bog)
-            alb = jnp.where(even_par, beb, bob)
-
-        # ---- diffuse ----
-        ux, uy, uz = unit3()
-        cb = jnp.exp(jnp.log(jnp.maximum(uniform(), 1e-24)) * (1.0 / 3.0))
-        sx, sy, sz = ux * cb, uy * cb, uz * cb
-        flip = jnp.where(sx * nx + sy * ny + sz * nz > 0.0, 1.0, -1.0)
-        m0 = method == 0.0
-        m1 = method == 1.0
-        offx = jnp.where(m0, nx + sx, jnp.where(m1, nx + ux, sx * flip))
-        offy = jnp.where(m0, ny + sy, jnp.where(m1, ny + uy, sy * flip))
-        offz = jnp.where(m0, nz + sz, jnp.where(m1, nz + uz, sz * flip))
-        tgx, tgy, tgz = px_ + offx, py_ + offy, pz_ + offz
-        nz_tgt = ((jnp.abs(tgx) <= 1e-8) & (jnp.abs(tgy) <= 1e-8)
-                  & (jnp.abs(tgz) <= 1e-8))
-        tgx = jnp.where(nz_tgt, nx, tgx)
-        tgy = jnp.where(nz_tgt, ny, tgy)
-        tgz = jnp.where(nz_tgt, nz, tgz)
-        difx, dify, difz = tgx - px_, tgy - py_, tgz - pz_
-
-        # ---- metallic ----
-        two_ndd = 2.0 * (dx * nx + dy * ny + dz * nz)
-        rfx = dx - two_ndd * nx
-        rfy = dy - two_ndd * ny
-        rfz = dz - two_ndd * nz
-        rinv = jax.lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz,
-                                         1e-24))
-        fz = jnp.minimum(bfz, 1.0)
-        mex = rfx * rinv + fz * ux
-        mey = rfy * rinv + fz * uy
-        mez = rfz * rinv + fz * uz
-        metal_ok = mex * nx + mey * ny + mez * nz > 0.0
-
-        # ---- dielectric ----
-        eta = jnp.where(front, 1.0 / bio, bio)
-        dinv = jax.lax.rsqrt(jnp.maximum(a, 1e-24))
-        udx, udy, udz = dx * dinv, dy * dinv, dz * dinv
-        cos_t = -(udx * nx + udy * ny + udz * nz)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        cannot = eta * sin_t > 1.0
-        r0 = (1.0 - eta) / (1.0 + eta)
-        r0 = r0 * r0
-        om = 1.0 - cos_t
-        om2 = om * om
-        refl_p = r0 + (1.0 - r0) * om2 * om2 * om
-        do_refl = cannot | (refl_p > uniform())
-        ppx = (udx + cos_t * nx) * eta
-        ppy = (udy + cos_t * ny) * eta
-        ppz = (udz + cos_t * nz) * eta
-        parm = -jnp.sqrt(jnp.maximum(
-            1.0 - (ppx * ppx + ppy * ppy + ppz * ppz), 0.0))
-        dlx = jnp.where(do_refl, rfx, ppx + parm * nx)
-        dly = jnp.where(do_refl, rfy, ppy + parm * ny)
-        dlz = jnp.where(do_refl, rfz, ppz + parm * nz)
-
-        # ---- select + continue/die ----
-        is_m = kind == float(MAT_METALLIC)
-        is_d = is_d_kind
-        ndirx = jnp.where(is_d, dlx, jnp.where(is_m, mex, difx))
-        ndiry = jnp.where(is_d, dly, jnp.where(is_m, mey, dify))
-        ndirz = jnp.where(is_d, dlz, jnp.where(is_m, mez, difz))
-        atr = jnp.where(is_d, 1.0, alr)
-        atg = jnp.where(is_d, 1.0, alg)
-        atb = jnp.where(is_d, 1.0, alb)
-        nd2 = ndirx * ndirx + ndiry * ndiry + ndirz * ndirz
-        scattered = ((~is_m) | metal_ok) & (nd2 > 1e-20)
-
-        # ---- miss -> sky, weighted by throughput ----
-        sky_t = 0.5 * (dy * dinv + 1.0)
-        skyr = (1.0 - sky_t + 0.5) * sky_t
-        skyg = (1.0 - sky_t + 0.7) * sky_t
-        skyb = (1.0 - sky_t + 1.0) * sky_t
-        miss = active & ~hit
-        rad_ref[0] = jnp.where(miss, thx * skyr, zf)
-        rad_ref[1] = jnp.where(miss, thy * skyg, zf)
-        rad_ref[2] = jnp.where(miss, thz * skyb, zf)
-
-        cont = active & hit & scattered
-        st_out[0] = jnp.where(cont, px_, ox)
-        st_out[1] = jnp.where(cont, py_, oy)
-        st_out[2] = jnp.where(cont, pz_, oz)
-        st_out[3] = jnp.where(cont, ndirx, dx)
-        st_out[4] = jnp.where(cont, ndiry, dy)
-        st_out[5] = jnp.where(cont, ndirz, dz)
-        st_out[6] = tau
-        st_out[7] = jnp.where(cont, thx * atr, thx)
-        st_out[8] = jnp.where(cont, thy * atg, thy)
-        st_out[9] = jnp.where(cont, thz * atb, thz)
-        alive_out[...] = cont.astype(i32)
+            # tail-completion mode: run the surviving rays to depth
+            # exhaustion inside ONE launch (the per-launch dispatch
+            # overhead otherwise dominates the nearly-dead late bounces)
+            fin = jax.lax.while_loop(
+                lambda st: jnp.logical_and(st[14] < loop_bounces,
+                                           jnp.any(st[10] > 0)),
+                _step, state0)
+        for k in range(_ST):
+            st_out[k] = fin[k]
+        alive_out[...] = fin[10]
+        rad_ref[0] = fin[11]
+        rad_ref[1] = fin[12]
+        rad_ref[2] = fin[13]
 
 
 def _morton18(cell):
@@ -736,10 +755,12 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
         head.append(_scene_globals(scene).astype(jnp.float32))
         head_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
-    kern = functools.partial(
-        _wf_kernel, n_pad=n_pad, m_pad=m_pad, spp_unused=spp, t_min=t_min,
-        has_motion=scene.has_motion, rs=rs, unroll=unroll, gm=gm, blk=blk,
-        tree=True, stream=stream, stream_cull=True)
+    def make_kern(loop_k):
+        return functools.partial(
+            _wf_kernel, n_pad=n_pad, m_pad=m_pad, spp_unused=spp,
+            t_min=t_min, has_motion=scene.has_motion, rs=rs, unroll=unroll,
+            gm=gm, blk=blk, tree=True, stream=stream, stream_cull=True,
+            loop_bounces=loop_k)
 
     st_spec = pl.BlockSpec((_ST, rs, 128), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
@@ -748,12 +769,12 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
     rad_spec = pl.BlockSpec((3, rs, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    def bounce(depth_i, o, d, tm, thr, alive):
+    def bounce(depth_i, o, d, tm, thr, alive, loop_k=1):
         st = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
                         d[:, 2], tm, thr[:, 0], thr[:, 1], thr[:, 2]])
         seed2 = jnp.stack([seed, jnp.asarray(depth_i, jnp.int32)])
         st_o, al_o, rad = pl.pallas_call(
-            kern,
+            make_kern(loop_k),
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + head_specs
             + tab_specs + [st_spec, al_spec],
@@ -776,8 +797,16 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
         rad = rad.reshape(3, r_pad).T
         return o, d, tm, thr, alive, rad
 
+    # Launch schedule: bounce-synchronous launches (with inter-bounce
+    # compaction/sorting) while a meaningful fraction of rays is alive,
+    # then ONE tail launch that runs the survivors to depth exhaustion
+    # inside the kernel — by bounce 3 only a few percent of rays remain
+    # and the per-launch dispatch overhead (~0.2 ms/grid-step) dominates
+    # five nearly-empty launches. debug_counts needs per-bounce numbers,
+    # so it disables tail fusion.
+    n_sync = max_depth if debug_counts else min(max_depth, 3)
     alive_counts = []
-    for depth_i in range(max_depth):
+    for depth_i in range(n_sync):
         alive_counts.append(jnp.sum(alive))
         if sort and depth_i > 0:
             if depth_i == 1:
@@ -807,6 +836,26 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
             pix = pix[order]
             radbuf = radbuf[order]
         o, d, tm, thr, alive, rad = bounce(depth_i, o, d, tm, thr, alive)
+        radbuf = radbuf + rad
+    if max_depth > n_sync:
+        # dead-last partition, then the fused tail
+        aliveb = alive > 0
+        pos_a = jnp.cumsum(aliveb.astype(jnp.int32)) - 1
+        n_alive = pos_a[-1] + 1
+        pos = jnp.where(
+            aliveb, pos_a,
+            n_alive + jnp.cumsum((~aliveb).astype(jnp.int32)) - 1)
+        order = jnp.zeros((r_pad,), jnp.int32).at[pos].set(
+            jnp.arange(r_pad, dtype=jnp.int32))
+        o = o[order]
+        d = d[order]
+        tm = tm[order]
+        thr = thr[order]
+        alive = alive[order]
+        pix = pix[order]
+        radbuf = radbuf[order]
+        _, _, _, _, _, rad = bounce(n_sync, o, d, tm, thr, alive,
+                                    loop_k=max_depth - n_sync)
         radbuf = radbuf + rad
 
     # pad rays are never alive, so their radbuf rows are exactly zero —
