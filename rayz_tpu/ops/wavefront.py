@@ -22,7 +22,11 @@ This engine restores coherence the classic wavefront way, mapped to TPU:
 * one Pallas kernel launch per bounce traces + shades each tile: nearest
   hit via the same Morton-block culled (in-SMEM) or chunk-streamed (HBM)
   sweep as the megakernel, then the same material/sky shading, emitting
-  per-ray (new ray, throughput, alive, radiance-add).
+  per-ray (new ray, throughput, alive, radiance-add);
+* after the first few synchronous bounces (3; only a few percent of rays
+  survive past them) ONE tail launch loops the survivors to depth
+  exhaustion inside the kernel — late near-empty launches otherwise pay
+  the full ~0.2 ms/grid-step dispatch overhead.
 
 Camera rays are generated in XLA (models/camera.generate_rays) in 64x32
 pixel-patch order at bounce 0 — a pure frustum per tile. Radiance rides
