@@ -124,10 +124,9 @@ def supports_wavefront(scene: Scene) -> bool:
     return supports_scene(scene) and (fits_smem(scene) or fits_stream(scene))
 
 
-def _wf_kernel(*args, n_pad: int, m_pad: int, spp_unused: int, t_min: float,
+def _wf_kernel(*args, n_pad: int, m_pad: int, t_min: float,
                has_motion: bool, rs: int, unroll: int, gm: bool, blk: int,
-               tree: bool, stream: int, stream_cull: bool,
-               loop_bounces: int = 1):
+               stream: int, stream_cull: bool, loop_bounces: int = 1):
     """One grid step = one bounce of one tile of rs*128 rays.
 
     Positional refs: seed [2] SMEM (seed, depth), gm globals [8] SMEM iff
@@ -761,9 +760,9 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
 
     def make_kern(loop_k):
         return functools.partial(
-            _wf_kernel, n_pad=n_pad, m_pad=m_pad, spp_unused=spp,
+            _wf_kernel, n_pad=n_pad, m_pad=m_pad,
             t_min=t_min, has_motion=scene.has_motion, rs=rs, unroll=unroll,
-            gm=gm, blk=blk, tree=True, stream=stream, stream_cull=True,
+            gm=gm, blk=blk, stream=stream, stream_cull=True,
             loop_bounces=loop_k)
 
     st_spec = pl.BlockSpec((_ST, rs, 128), lambda i: (0, i, 0),
