@@ -119,6 +119,21 @@ def test_compaction_grads_match_exhaustive():
         np.testing.assert_allclose(b, a, atol=1e-5, err_msg=f)
 
 
+def test_compaction_f64_scan_replay_carry():
+    """The f64 path replays with the XLA scan (fused is f32-only): the
+    resumed pass's initial carry must flow through replay_pp's
+    init_carry/return_final handoff too — starved budget + compaction
+    equals the exhaustive single pass."""
+    scene, cam = _metal_scene(dtype=jnp.float64)
+    cfg = rt.RenderConfig(spp=3, max_depth=5, jitter=False)
+    img_c, left_c = render_diff_pp(scene, cam, 0, cfg, iters=2, compact=True,
+                                   return_leftover=True)
+    assert int(left_c) == 0
+    img_x = render_diff_pp(scene, cam, 0, cfg, iters=15)
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_x),
+                               atol=1e-12)
+
+
 def test_compaction_capacity_overflow_reports_leftover():
     """When more slots straggle than the compact capacity, the deficit must
     be REPORTED (not silently dropped): tile_sublanes=1 makes the block 128
