@@ -103,7 +103,7 @@ def main() -> None:
     # The persistent-path recording must COMPLETE every sample within its
     # iteration budget at this config, or the fwdbwd number would measure a
     # cheaper (truncated) estimator. Asserted, not assumed.
-    from rayz_tpu.ops.pathrec import default_iters, render_diff_pp
+    from rayz_tpu.ops.pathrec import render_diff_pp
 
     # ---- forward+backward: grad of pixel L2 through record/replay ----
     # Microbatched gradient accumulation: one spp=MICRO graph reused
