@@ -78,9 +78,11 @@ def main(argv=None) -> int:
         from .ops.megakernel import render_pallas_sharded
         mesh = make_mesh()
         if engine == "pallas":
-            run = lambda: render_pallas_sharded(scene, camera, key, cfg, mesh)
+            run = lambda verbose=True: render_pallas_sharded(
+                scene, camera, key, cfg, mesh)
         else:
-            run = lambda: render_sharded_jit(scene, camera, key, cfg, mesh)
+            run = lambda verbose=True: render_sharded_jit(
+                scene, camera, key, cfg, mesh)
     elif args.progress and args.spp > 1:
         # progressive accumulation: n_chunks device calls, reference-format
         # progress line between them (renderer.zig:84: "\rProgress: X.XX%"
@@ -90,12 +92,13 @@ def main(argv=None) -> int:
         base, extra = divmod(args.spp, n_chunks)
         sizes = [base + (1 if i < extra else 0) for i in range(n_chunks)]
 
-        def run():
+        def run(verbose=True):
             acc = None
             done = 0
             for i, s in enumerate(sizes):
-                print(f"\rProgress: {100.0 * done / args.spp:.2f}%",
-                      end="", file=sys.stderr)
+                if verbose:
+                    print(f"\rProgress: {100.0 * done / args.spp:.2f}%",
+                          end="", file=sys.stderr)
                 ccfg = RenderConfig(spp=s, max_depth=args.depth,
                                     t_min=args.t_min,
                                     chunk_size=args.chunk)
@@ -104,15 +107,18 @@ def main(argv=None) -> int:
                     engine=engine))
                 acc = img * s if acc is None else acc + img * s
                 done += s
-            print("\rProgress: 100.00%", file=sys.stderr)
+            if verbose:
+                print("\rProgress: 100.00%", file=sys.stderr)
             return acc / args.spp
     else:
-        run = lambda: render_fast(scene, camera, key, cfg, engine=engine)
+        run = lambda verbose=True: render_fast(scene, camera, key, cfg,
+                                               engine=engine)
 
-    # Compile outside the timed region (the reference has no compile step).
-    # jax.device_get is the sync: on the tunneled TPU platform
-    # block_until_ready returns before execution finishes.
-    jax.device_get(run())
+    # Compile outside the timed region (the reference has no compile step;
+    # the progress sweep stays quiet during warmup). jax.device_get is the
+    # sync: on the tunneled TPU platform block_until_ready returns before
+    # execution finishes.
+    jax.device_get(run(verbose=False))
     st = time.perf_counter()
     img = jax.device_get(run())
     dur = time.perf_counter() - st

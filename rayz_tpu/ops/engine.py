@@ -61,11 +61,11 @@ def render_fast(scene, camera, key, config: RenderConfig = RenderConfig(),
         return render_pallas(scene, camera, key, config, **pallas_kw)
     if eng == "wavefront":
         from .wavefront import render_wavefront
-        # measured optimum for the streamed regime (fewer grid steps)
-        pallas_kw.setdefault("tile_sublanes", 32)
         kw = {k: v for k, v in pallas_kw.items()
               if k in ("tile_sublanes", "unroll", "interpret", "culling",
                        "block_size", "stream", "sort") and v is not None}
+        # measured optimum for the streamed regime (fewer grid steps)
+        kw.setdefault("tile_sublanes", 32)
         return render_wavefront(scene, camera, key, config, **kw)
     if not is_prng_key(key):
         key = jax.random.PRNGKey(key)  # accept plain integer seeds too

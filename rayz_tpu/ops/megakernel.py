@@ -188,14 +188,16 @@ def _stream_smem_words(scene: Scene, stream_chunk: int, blk: int) -> int:
 
 
 def fits_stream(scene: Scene,
-                stream_chunk: int = DEFAULT_STREAM_CHUNK,
-                block_size: int = DEFAULT_BLOCK) -> bool:
+                stream_chunk: int = DEFAULT_STREAM_CHUNK) -> bool:
     """Whether the STREAMED megakernel can run this scene: only the chunk
     scratch, per-chunk bound rows, and camera/seed must fit SMEM (the tables
     themselves live in HBM) — ~50M primitives at the default chunk size
-    before the bound rows outgrow the budget."""
+    before the bound rows outgrow the budget. Counts the block size the
+    streamed launches actually use (stream_chunk // 128 — the 128-aligned
+    block-row DMA constraint), so a scene that passes here can never hit
+    the launch-time guard."""
     return 4 * _stream_smem_words(scene, stream_chunk,
-                                  block_size) <= SMEM_BUDGET
+                                  stream_chunk // 128) <= SMEM_BUDGET
 
 
 def fits_smem(scene: Scene, culling: Optional[bool] = None,
@@ -1121,7 +1123,7 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
             stream_cull=stream_cull)
 
     tabs, blk_inputs, n_pad, m_pad = _smem_scene_inputs(
-        scene, gm, blk, unroll, _cam_origin(camera), n_pad, m_pad)
+        scene, gm, blk, unroll, n_pad, m_pad)
     inputs = [cam] + tabs + blk_inputs
     inputs.append(seed_arr)
 
@@ -1271,10 +1273,11 @@ def _near_to_far(tab, lo, hi, valid, group: int, origin, within: int = 0):
 
 
 def use_patch_order(width: int, height: int) -> bool:
-    """Whether the megakernel lays slots out in 64x32-pixel patches (images
-    that tile evenly) instead of row-major — see the slot->pixel note in
-    ``_kernel``. Renders are identical up to the per-slot PRNG stream
-    assignment; the host unscrambles with :func:`_patch_inverse`."""
+    """Whether a 64x32-pixel patch slot layout is available for this image
+    size (tiles evenly). Used by the WAVEFRONT driver to order its camera
+    rays (wavefront.py); the persistent megakernel itself stays row-major
+    (see the slot->pixel note in ``_kernel`` — patch order was measured
+    slower there)."""
     return width % 64 == 0 and height % 32 == 0
 
 
@@ -1294,7 +1297,7 @@ def _patch_inverse(width: int, height: int):
 
 
 def _smem_scene_inputs(scene: Scene, gm: bool, blk: int, unroll: int,
-                       origin, n_pad: int, m_pad: int):
+                       n_pad: int, m_pad: int):
     """Whole-scene-in-SMEM table prep shared by the megakernel and the
     wavefront kernel: Morton sort + block padding/poisoning + near-to-far
     block ordering + per-block bound rows. Returns (table inputs,

@@ -160,7 +160,7 @@ def default_schedule(spp: int, max_depth: int, r_pad: int,
     j has already consumed sum(k_1..k_{j-1}) iterations and the budgets
     only need to SUM to spp*max_depth for the per-slot hard guarantee.
 
-    Default: a lean full-width pass (4*spp — most slots finish), a
+    Default: a lean full-width pass (default_k1 = 3.5*spp — most slots finish), a
     depth-length pass at half capacity (the broad tail), and the remainder
     at 1/16 capacity (the deep tail: flagship measures 1.9% of slots
     unfinished after the first two passes, so 1/16 is 3x headroom).

@@ -747,7 +747,7 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
         scratch.append(pltpu.SemaphoreType.DMA((4,)))
     else:
         tabs, blk_inputs, n_pad, m_pad = _smem_scene_inputs(
-            scene, gm, blk, unroll, origin, n_pad, m_pad)
+            scene, gm, blk, unroll, n_pad, m_pad)
         tab_inputs = tabs + blk_inputs
         tab_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(tab_inputs)
         scratch = []
@@ -896,9 +896,16 @@ def render_wavefront(scene: Scene, camera: Camera, key, config=None, *,
         stream = 0 if fits_smem(scene, culling, block_size) \
             else DEFAULT_STREAM_CHUNK
     if stream:
+        from .megakernel import SMEM_BUDGET, _stream_smem_words
         blk = stream // 128
         if blk < unroll or blk % unroll:
             blk = 0
+        smem_bytes = 4 * _stream_smem_words(scene, stream, blk)
+        if smem_bytes > SMEM_BUDGET:
+            raise ValueError(
+                f"wavefront streamed scratch needs {smem_bytes} bytes of "
+                "SMEM (> budget); shrink the stream chunk or the scene "
+                "(fits_stream gates auto-dispatch on the same accounting)")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if interpret is True:
