@@ -82,9 +82,43 @@ def inject_params(scene: Scene, params: Dict[str, jnp.ndarray]) -> Scene:
     return scene.replace(**params)
 
 
+def _check_recordable(scene: Scene, engine: str, allow_dense: bool) -> bool:
+    """Static (trace-time) gate for the recorded engines. Returns True when
+    the record kernel can run ``scene``; otherwise RAISES unless the caller
+    opted into the dense fallback with ``allow_dense=True``, in which case
+    it warns and returns False. The recorded->dense degrade is a ~100x
+    asymptotic slowdown (O(R) -> O(R*N) backward) or an OOM, not a same-cost
+    engine swap, so it must never happen silently (round-4 verdict #3 —
+    the same never-silently discipline as pathrec's leftover counter)."""
+    if engine not in ("recorded", "recorded-pp"):
+        return False
+    if fits_smem_record(scene) and supports_diff(scene):
+        return True
+    if not supports_diff(scene):
+        why = ("the scene is empty or uses nested checker textures, which "
+               "the record/replay estimator does not shade exactly")
+    else:
+        why = ("the scene's record tables exceed the kernel's SMEM budget "
+               "(~13k primitives)")
+    msg = (f"engine={engine!r} cannot record this scene: {why}. ")
+    if not allow_dense:
+        raise ValueError(
+            msg + "Pass allow_dense=True to fall back to the dense "
+            "differentiable integrator (O(R*N) backward — typically ~100x "
+            "slower and memory-hungry), or use engine='dense' explicitly.")
+    import warnings
+
+    warnings.warn(
+        msg + "Falling back to the dense O(R*N) integrator "
+        "(allow_dense=True) — expect a large slowdown.", RuntimeWarning,
+        stacklevel=3)
+    return False
+
+
 def pixel_loss(params, scene: Scene, camera: Camera, key, target,
                config: RenderConfig, engine: str = "dense",
-               iters: Optional[int] = None, return_leftover: bool = False):
+               iters: Optional[int] = None, return_leftover: bool = False,
+               allow_dense: bool = False):
     """Mean squared pixel error of a fresh stochastic render vs target.
 
     ``engine``: "dense" differentiates through the full scan integrator
@@ -99,14 +133,14 @@ def pixel_loss(params, scene: Scene, camera: Camera, key, target,
     the number of samples the budget truncated (0 unless the compaction
     capacity overflows) — nonzero leftover means loss AND gradients are
     biased low, so callers that cannot tolerate bias must check it
-    (:func:`fit` does, and raises). A recorded request on a scene whose
-    tables exceed the record kernel's SMEM budget (~13k primitives)
-    degrades to "dense" — the same dispatch discipline as
-    ``pick_engine("auto")`` (engine.py:25-34) — rather than failing inside
-    Mosaic.
+    (:func:`fit` does, and raises). A recorded request on a scene the record
+    kernel cannot run (tables beyond its ~13k-primitive SMEM budget, or
+    unsupported shading) RAISES at trace time; ``allow_dense=True`` degrades
+    to the dense O(R*N) integrator with a ``RuntimeWarning`` instead — never
+    silently (see :func:`_check_recordable`).
     """
     fitted = inject_params(scene, params)
-    recordable = fits_smem_record(scene) and supports_diff(scene)
+    recordable = _check_recordable(scene, engine, allow_dense)
     leftover = jnp.zeros((), jnp.int32)
     if engine == "recorded-pp" and recordable:
         img, leftover = render_diff_pp(fitted, camera, key, config,
@@ -124,7 +158,7 @@ def pixel_loss(params, scene: Scene, camera: Camera, key, target,
 def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfig,
                     mesh: Optional[Mesh] = None, engine: str = "dense",
                     iters: Optional[int] = None, strict: bool = False,
-                    with_leftover: bool = False):
+                    with_leftover: bool = False, allow_dense: bool = False):
     """Build a jitted Adam/SGD step: (params, opt_state, scene, camera, key,
     target) -> (params, opt_state, loss) — or with ``with_leftover=True``
     (params, opt_state, loss, leftover), where leftover counts the samples
@@ -153,7 +187,7 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
             (loss, leftover), grads = jax.value_and_grad(
                 pixel_loss, has_aux=True)(
                 params, scene, camera, key, target, config, engine,
-                iters, True
+                iters, True, allow_dense
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -170,7 +204,7 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
     def _loss_grad_shard(params, scene, camera, key, px, py, tgt, weight):
         def local_loss(p):
             fitted = inject_params(scene, p)
-            recordable = fits_smem_record(scene) and supports_diff(scene)
+            recordable = _check_recordable(scene, engine, allow_dense)
             left = jnp.zeros((), jnp.int32)
             if engine == "recorded-pp" and recordable:
                 dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))
@@ -250,6 +284,7 @@ def fit(scene: Scene, camera: Camera, target, *, config: RenderConfig,
         mesh: Optional[Mesh] = None, key=None,
         callback=None, engine: str = "dense",
         iters: Optional[int] = None, strict: bool = False,
+        allow_dense: bool = False,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 50) -> Tuple[Scene, list]:
     """Run Adam on pixel L2 against ``target``; returns (fitted scene,
@@ -295,7 +330,8 @@ def fit(scene: Scene, camera: Camera, target, *, config: RenderConfig,
     check_left = engine == "recorded-pp"
     step_fn = make_train_step(optimizer, config, mesh, engine=engine,
                               iters=iters, strict=strict,
-                              with_leftover=check_left)
+                              with_leftover=check_left,
+                              allow_dense=allow_dense)
     history = []
     for i in range(start, steps):
         key, sub = jax.random.split(key)

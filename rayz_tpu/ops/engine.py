@@ -64,8 +64,9 @@ def render_fast(scene, camera, key, config: RenderConfig = RenderConfig(),
         kw = {k: v for k, v in pallas_kw.items()
               if k in ("tile_sublanes", "unroll", "interpret", "culling",
                        "block_size", "stream", "sort") and v is not None}
-        # measured optimum for the streamed regime (fewer grid steps)
-        kw.setdefault("tile_sublanes", 32)
+        # tile_sublanes default (per-regime optimum) lives in
+        # render_wavefront itself, so direct calls and dispatch run the
+        # same kernel
         return render_wavefront(scene, camera, key, config, **kw)
     if not is_prng_key(key):
         key = jax.random.PRNGKey(key)  # accept plain integer seeds too

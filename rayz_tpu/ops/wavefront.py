@@ -421,9 +421,6 @@ def _wf_kernel(*args, n_pad: int, m_pad: int, t_min: float,
                         0, n_chunks, lambda c, h: chunk_body(c, h, None), h)
                 h = jax.lax.fori_loop(
                     0, n_chunks, lambda c, h: chunk_body(c, h, True), h)
-                import os as _os
-                if _os.environ.get("WF_SKIP_PASS2"):
-                    return h
                 return jax.lax.fori_loop(
                     0, n_chunks, lambda c, h: chunk_body(c, h, False), h)
 
@@ -670,14 +667,14 @@ def _scene_bounds(scene: Scene):
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_depth", "t_min", "jitter", "tile_sublanes",
-                     "unroll", "interpret", "blk", "stream", "sort",
-                     "debug_counts"),
+                     "unroll", "interpret", "blk", "stream", "stream_cull",
+                     "sort", "debug_counts"),
 )
 def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
                            max_depth: int, t_min: float, jitter: bool,
                            tile_sublanes: int, unroll: int, interpret,
-                           blk: int, stream: int, sort: bool,
-                           debug_counts: bool = False):
+                           blk: int, stream: int, stream_cull: bool,
+                           sort: bool, debug_counts: bool = False):
     h, w = camera.height, camera.width
     n_px = h * w
     rs = tile_sublanes
@@ -762,7 +759,7 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
         return functools.partial(
             _wf_kernel, n_pad=n_pad, m_pad=m_pad,
             t_min=t_min, has_motion=scene.has_motion, rs=rs, unroll=unroll,
-            gm=gm, blk=blk, stream=stream, stream_cull=True,
+            gm=gm, blk=blk, stream=stream, stream_cull=stream_cull,
             loop_bounces=loop_k)
 
     st_spec = pl.BlockSpec((_ST, rs, 128), lambda i: (0, i, 0),
@@ -806,7 +803,9 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
     # inside the kernel — by bounce 3 only a few percent of rays remain
     # and the per-launch dispatch overhead (~0.2 ms/grid-step) dominates
     # five nearly-empty launches. debug_counts needs per-bounce numbers,
-    # so it disables tail fusion.
+    # so it disables tail fusion — its launch schedule therefore DIFFERS
+    # from production: use it for counting bounce events only, never for
+    # timing.
     n_sync = max_depth if debug_counts else min(max_depth, 3)
     alive_counts = []
     for depth_i in range(n_sync):
@@ -876,7 +875,7 @@ def _use_gm(scene: Scene) -> bool:
 
 
 def render_wavefront(scene: Scene, camera: Camera, key, config=None, *,
-                     tile_sublanes: int = 16, unroll: int = 8,
+                     tile_sublanes=None, unroll: int = 8,
                      interpret=None, culling=None,
                      block_size: int = DEFAULT_BLOCK,
                      stream=None, sort: bool = True) -> jnp.ndarray:
@@ -884,7 +883,12 @@ def render_wavefront(scene: Scene, camera: Camera, key, config=None, *,
     :func:`rayz_tpu.ops.megakernel.render_pallas` on supported scenes.
     Intended for LARGE scenes (>= ~10k primitives) where sorted-ray
     coherence lets the bound tests prune on every bounce; below that the
-    persistent megakernel's zero sort/launch overhead wins."""
+    persistent megakernel's zero sort/launch overhead wins.
+
+    ``tile_sublanes=None`` (the default, and the single source of truth —
+    ``render_fast`` passes it through untouched) picks the measured optimum
+    per regime: 32 sublanes/tile for streamed scenes (fewer grid steps
+    amortize the per-chunk DMA machinery), 16 for SMEM-resident ones."""
     if config is None:
         config = RenderConfig()
     if not supports_scene(scene):
@@ -895,9 +899,16 @@ def render_wavefront(scene: Scene, camera: Camera, key, config=None, *,
     if stream is None:
         stream = 0 if fits_smem(scene, culling, block_size) \
             else DEFAULT_STREAM_CHUNK
+    if tile_sublanes is None:
+        tile_sublanes = 32 if stream else 16
+    # Like render_pallas (megakernel.py), an explicit culling=False disables
+    # the bound tests in BOTH regimes: streamed mode zeroes the within-chunk
+    # block tables and runs every chunk sweep unconditionally (the chunk DMA
+    # itself is unconditional either way).
+    stream_cull = culling is not False
     if stream:
         from .megakernel import SMEM_BUDGET, _stream_smem_words
-        blk = stream // 128
+        blk = stream // 128 if stream_cull else 0
         if blk < unroll or blk % unroll:
             blk = 0
         smem_bytes = 4 * _stream_smem_words(scene, stream, blk)
@@ -916,4 +927,4 @@ def render_wavefront(scene: Scene, camera: Camera, key, config=None, *,
         scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
         t_min=config.t_min, jitter=config.jitter,
         tile_sublanes=tile_sublanes, unroll=unroll, interpret=interpret,
-        blk=blk, stream=stream, sort=sort)
+        blk=blk, stream=stream, stream_cull=stream_cull, sort=sort)

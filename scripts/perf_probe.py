@@ -66,7 +66,7 @@ def bounce_counts() -> None:
         _, counts = wf._render_wavefront_impl(
             scene, cam, jnp.asarray(1), spp=8, max_depth=32, t_min=1e-3,
             jitter=True, tile_sublanes=32, unroll=8, interpret=False,
-            blk=64, stream=0, sort=True, debug_counts=True)
+            blk=64, stream=0, stream_cull=True, sort=True, debug_counts=True)
         c = np.asarray(jax.device_get(counts)).astype(float)
         print(f"{name}: camera rays={int(c[0])} "
               f"executed bounce-events={int(c.sum())} "

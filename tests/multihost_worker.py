@@ -70,8 +70,24 @@ full = multihost.assemble_global_image(img)
 # the upstream interpreter limitation.
 import threading  # noqa: E402
 
-from jax._src.pallas.mosaic.interpret import (  # noqa: E402
-    interpret_pallas_call as _ipc)
+try:
+    from jax._src.pallas.mosaic.interpret import (  # noqa: E402
+        interpret_pallas_call as _ipc)
+    for _name in ("_initialize_shared_memory", "_get_shared_memory",
+                  "_update_clocks_for_global_barrier",
+                  "_clear_shared_memory"):
+        if not hasattr(_ipc, _name):
+            raise AttributeError(_name)
+except (ImportError, AttributeError) as e:  # pragma: no cover - jax bump
+    raise RuntimeError(
+        "multihost_worker's barrier-resize workaround patches private JAX "
+        "Pallas-interpreter internals that no longer exist in this JAX "
+        f"version ({jax.__version__}): {e}. Check whether the upstream "
+        "interpreter still sizes its per-pallas_call barrier to the GLOBAL "
+        "mesh device count (jax _src/pallas/mosaic/interpret/"
+        "interpret_pallas_call.py, threading.Barrier(num_devices)); if that "
+        "is fixed, delete this patch block, otherwise re-target the patch."
+    ) from e
 
 _orig_init_shm = _ipc._initialize_shared_memory
 

@@ -256,9 +256,10 @@ def test_pixel_loss_recorded_triangle_scene_grads():
 
 def test_record_smem_guard_and_dense_fallback():
     """An oversized scene must raise a CLEAR error from the recorded engine
-    (no opaque Mosaic failure), and pixel_loss(engine='recorded') must degrade
-    to the dense differentiable path — the same dispatch discipline as
-    pick_engine('auto') (engine.py:25-34)."""
+    (no opaque Mosaic failure). pixel_loss(engine='recorded') must REFUSE
+    such a scene by default — the dense degrade is a ~100x asymptotic
+    slowdown, never silent (round-4 verdict #3) — and with allow_dense=True
+    must warn and match engine='dense' exactly."""
     import pytest
     from rayz_tpu.ops.diffkernel import fits_smem_record
 
@@ -279,17 +280,40 @@ def test_record_smem_guard_and_dense_fallback():
     with pytest.raises(ValueError, match="SMEM"):
         render_diff(big, cam, 0, cfg, interpret=True)
 
-    # pixel_loss with engine='recorded' silently uses the dense path: value
-    # and gradient must match engine='dense' EXACTLY (same key, same graph).
     small = rt.make_camera(width=8, height=8, vfov=55.0, focus_dist=1.0,
                            look_from=(0, 0, 0), look_at=(0, 0, -1))
     params = extract_params(big, ("tex_color",))
     key = jax.random.PRNGKey(3)
     target = jnp.zeros((8, 8, 3))
-    l_rec, g_rec = jax.value_and_grad(pixel_loss)(
-        params, big, small, key, target, cfg, "recorded")
+
+    # default: refuse, naming the budget and the opt-out
+    with pytest.raises(ValueError, match="allow_dense"):
+        pixel_loss(params, big, small, key, target, cfg, "recorded")
+    for engine in ("recorded", "recorded-pp"):
+        with pytest.raises(ValueError, match="SMEM"):
+            jax.value_and_grad(pixel_loss)(
+                params, big, small, key, target, cfg, engine)
+
+    # allow_dense=True: warn loudly, then value and gradient must match
+    # engine='dense' EXACTLY (same key, same graph).
+    with pytest.warns(RuntimeWarning, match="dense"):
+        l_rec, g_rec = jax.value_and_grad(pixel_loss)(
+            params, big, small, key, target, cfg, "recorded",
+            None, False, True)
     l_den, g_den = jax.value_and_grad(pixel_loss)(
         params, big, small, key, target, cfg, "dense")
     assert float(l_rec) == float(l_den)
     np.testing.assert_array_equal(np.asarray(g_rec["tex_color"]),
                                   np.asarray(g_den["tex_color"]))
+
+    # the mesh train-step path applies the same gate at trace time
+    import optax
+
+    from rayz_tpu.diff import make_train_step
+    from rayz_tpu.parallel import make_mesh
+
+    step = make_train_step(optax.adam(1e-2), cfg, make_mesh(),
+                           engine="recorded")
+    opt_state = optax.adam(1e-2).init(params)
+    with pytest.raises(ValueError, match="allow_dense"):
+        step(params, opt_state, big, small, key, target)

