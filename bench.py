@@ -88,6 +88,9 @@ def main() -> None:
         "tree": TREE,
         "culling_blk": _resolve_blk(scene, None, 64),
         "gm": use_global_materials(scene),
+        # straggler-compacted respawn (round 5): render_pallas defaults
+        "compact_budget": SPP,
+        "compact_passes": 10,
     }
 
     # ---- forward: fused Pallas megakernel ----

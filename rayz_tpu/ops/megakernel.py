@@ -456,7 +456,10 @@ def _kernel(cam_ref, *args,
             width: int, height: int, n_pad: int, m_pad: int, spp: int,
             max_depth: int, t_min: float, jitter: bool, has_motion: bool,
             rs: int, unroll: int, gm: bool, blk: int = 0,
-            tree: bool = True, stream: int = 0, stream_cull: bool = True):
+            tree: bool = True, stream: int = 0, stream_cull: bool = True,
+            debug_iters: bool = False, budget: int = 0,
+            resume: bool = False, save_state: bool = False,
+            pix_table: bool = False):
     """One grid step = one tile of rs*128 persistent ray slots.
 
     ``args`` carries the sphere table iff ``n_pad > 0`` and the triangle
@@ -470,7 +473,15 @@ def _kernel(cam_ref, *args,
     rays in the tile at once (a handful of VPU ops), and the block's inner
     loop runs only if ANY active ray could hit it closer than its current
     best — ``lax.cond`` on a scalar any-reduce, the tile-level analogue of
-    BVH pruning with shrinking tmax."""
+    BVH pruning with shrinking tmax.
+
+    ``budget``/``resume``/``save_state``/``pix_table`` implement the
+    straggler-compacted respawn (``_trace_shard_compact``): cap the tile's
+    while-loop trips at ``budget`` (0 = run to completion), read the initial
+    slot state from an input plane stack instead of spawning fresh, write
+    the final slot state out, and read each slot's pixel id from an input
+    table (compaction permutes slots, so slot != flat pixel index; -1 marks
+    a retired slot). Non-stream path only."""
     refs = list(args)
     if stream:
         # Streaming mode (the unbounded-N acceleration path): tables live in
@@ -496,7 +507,11 @@ def _kernel(cam_ref, *args,
         tri_ref = refs.pop(0) if m_pad else None
         sblk_ref = refs.pop(0) if (blk and n_pad) else None
         tblk_ref = refs.pop(0) if (blk and m_pad) else None
-        seed_ref, r_ref, g_ref, b_ref = refs
+        seed_ref = refs.pop(0)
+        pix_ref = refs.pop(0) if pix_table else None
+        st_in = refs.pop(0) if resume else None
+        r_ref, g_ref, b_ref = refs[:3]
+        st_out = refs[3] if save_state else None
     f32 = jnp.float32
     i32 = jnp.int32
     shape = (rs, 128)
@@ -529,12 +544,19 @@ def _kernel(cam_ref, *args,
     # culling gain — staggered respawn defeats the tighter frustum anyway.
     # The wavefront engine (wavefront.py), whose bounce-0 tiles are pure
     # frusta, DOES use patch ordering (driver-side, via _patch_inverse).
-    sub = jax.lax.broadcasted_iota(i32, shape, 0)
-    lane = jax.lax.broadcasted_iota(i32, shape, 1)
-    pix = pix_off + (tile * rs + sub) * 128 + lane
-    in_image = pix < (width * height)
-    pxf = (pix % width).astype(f32)
-    pyf = (pix // width).astype(f32)
+    if pix_table:
+        pix = pix_ref[...]
+        in_image = pix >= 0  # -1 marks retired slots (compaction padding)
+        pp = jnp.maximum(pix, 0)
+        pxf = (pp % width).astype(f32)
+        pyf = (pp // width).astype(f32)
+    else:
+        sub = jax.lax.broadcasted_iota(i32, shape, 0)
+        lane = jax.lax.broadcasted_iota(i32, shape, 1)
+        pix = pix_off + (tile * rs + sub) * 128 + lane
+        in_image = pix < (width * height)
+        pxf = (pix % width).astype(f32)
+        pyf = (pix // width).astype(f32)
 
     cam = [cam_ref[i] for i in range(18)]
     (lfx, lfy, lfz, dux, duy, duz, dvx, dvy, dvz,
@@ -546,24 +568,42 @@ def _kernel(cam_ref, *args,
     zf = jnp.zeros(shape, f32)
     zi = jnp.zeros(shape, i32)
 
-    state = (
-        zf, zf, zf,            # origin
-        zf, zf, zf + 1.0,      # direction (placeholder non-zero)
-        zf,                    # time
-        zf, zf, zf,            # throughput
-        zf, zf, zf,            # radiance accumulator
-        zi,                    # scatters remaining
-        jnp.where(in_image, spp, 0).astype(i32),  # samples remaining
-        zi,                    # active (i32 0/1: Mosaic can't carry i1 vectors)
-    )
+    if resume:
+        # continue mid-path from the previous pass's saved slot state
+        # (ray + throughput + radiance + integer counters as f32 planes)
+        state = tuple(st_in[i] for i in range(13)) + (
+            st_in[13].astype(i32), st_in[14].astype(i32),
+            st_in[15].astype(i32))
+    else:
+        state = (
+            zf, zf, zf,            # origin
+            zf, zf, zf + 1.0,      # direction (placeholder non-zero)
+            zf,                    # time
+            zf, zf, zf,            # throughput
+            zf, zf, zf,            # radiance accumulator
+            zi,                    # scatters remaining
+            jnp.where(in_image, spp, 0).astype(i32),  # samples remaining
+            zi,                    # active (i32: Mosaic can't carry i1 vectors)
+        )
+    if debug_iters:
+        # instrumentation-only extension: per-tile while-loop trip count and
+        # PER-LANE executed iterations (the lane's total demand = sum of its
+        # samples' path lengths) — quantifies the sample-budget straggler
+        # tail (PERF.md) and feeds the cost-sorted respawn pilot
+        state = state + (jnp.zeros((), jnp.float32), zf)
+    elif budget:
+        state = state + (jnp.zeros((), jnp.int32),)  # trip counter
 
     def alive(st):
         act, samp = st[15], st[14]
-        return jnp.any((act > 0) | (samp > 0))
+        more = jnp.any((act > 0) | (samp > 0))
+        if budget:
+            more &= st[16] < budget
+        return more
 
     def body(st):
         (ox, oy, oz, dx, dy, dz, tau, thx, thy, thz,
-         ar, ag, ab, depth, samples, active_i) = st
+         ar, ag, ab, depth, samples, active_i) = st[:16]
         active = active_i > 0
 
         # ---- respawn dead slots with the next camera sample ----
@@ -607,6 +647,8 @@ def _kernel(cam_ref, *args,
         depth = jnp.where(spawn, max_depth, depth)
         samples = samples - spawn.astype(i32)
         active = active | spawn
+        if debug_iters:
+            was_active = active.astype(f32)
 
         # ---- nearest-hit sphere loop (Sphere.hitInner, geom.zig:38-66) ----
         a = dx * dx + dy * dy + dz * dz
@@ -892,8 +934,17 @@ def _kernel(cam_ref, *args,
             elif blk:
                 h = _culled_loop(h, n_pad, sblk_ref, sph_group)
             else:
-                h = jax.lax.fori_loop(
-                    0, (n_pad + unroll - 1) // unroll, sph_group, h)
+                ngr = (n_pad + unroll - 1) // unroll
+                if tree and ngr % 2 == 0:
+                    # two independent winner carries across alternating
+                    # groups: halves the cross-group select-chain latency
+                    def dual(k, hh):
+                        return (sph_group(2 * k, hh[0]),
+                                sph_group(2 * k + 1, hh[1]))
+                    h0, h1 = jax.lax.fori_loop(0, ngr // 2, dual, (h, hit0))
+                    h = merge(h0, h1)
+                else:
+                    h = jax.lax.fori_loop(0, ngr, sph_group, h)
         if m_pad:
             if stream:
                 h = _stream_loop(h, m_pad, t_hbm, t_cbnd, t_blkh, tri_ref,
@@ -1079,19 +1130,35 @@ def _kernel(cam_ref, *args,
         # depth exhausted -> black (bounceRay depth==0, renderer.zig:104-105)
         active = cont & (depth > 0)
 
-        return (ox, oy, oz, dx, dy, dz, tau, thx, thy, thz,
-                ar, ag, ab, depth, samples, active.astype(i32))
+        out = (ox, oy, oz, dx, dy, dz, tau, thx, thy, thz,
+               ar, ag, ab, depth, samples, active.astype(i32))
+        if debug_iters:
+            out = out + (st[16] + 1.0, st[17] + was_active)
+        elif budget:
+            out = out + (st[16] + 1,)
+        return out
 
     final = jax.lax.while_loop(alive, body, state)
     r_ref[:] = final[10]
-    g_ref[:] = final[11]
-    b_ref[:] = final[12]
+    if debug_iters:
+        g_ref[:] = jnp.full(shape, final[16])
+        b_ref[:] = final[17]
+    else:
+        g_ref[:] = final[11]
+        b_ref[:] = final[12]
+    if save_state:
+        for i in range(13):
+            st_out[i] = final[i]
+        st_out[13] = final[13].astype(jnp.float32)
+        st_out[14] = final[14].astype(jnp.float32)
+        st_out[15] = final[15].astype(jnp.float32)
 
 
 def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
                  *, spp: int, max_depth: int, t_min: float, jitter: bool,
                  tile_sublanes: int, unroll: int, interpret, blk: int = 0,
-                 tree: bool = True, stream: int = 0, stream_cull: bool = True):
+                 tree: bool = True, stream: int = 0, stream_cull: bool = True,
+                 debug_iters: bool = False):
     """Trace ``n_local`` consecutive pixels starting at global index
     ``pix_offset``; returns flat [n_local, 3] radiance sums (divide by spp for
     the image). This is the unit a device shard executes under shard_map.
@@ -1140,7 +1207,7 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
         spp=spp,
         max_depth=max_depth, t_min=t_min, jitter=jitter,
         has_motion=scene.has_motion, rs=rs, unroll=unroll, gm=gm, blk=blk,
-        tree=tree)
+        tree=tree, debug_iters=debug_iters)
 
     out_shape = jax.ShapeDtypeStruct((nsub, 128), jnp.float32)
     out_spec = pl.BlockSpec((rs, 128), lambda i: (i, 0),
@@ -1156,6 +1223,133 @@ def _trace_shard(scene: Scene, camera: Camera, seed, pix_offset, n_local: int,
 
     flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     return flat[:n_local]
+
+
+def _trace_shard_compact(scene: Scene, camera: Camera, seed, pix_offset,
+                         n_local: int, *, spp: int, max_depth: int,
+                         t_min: float, jitter: bool, tile_sublanes: int,
+                         unroll: int, interpret, blk: int = 0,
+                         tree: bool = True, budget: int = 32,
+                         passes: int = 26):
+    """Straggler-compacted respawn: the budgeted multi-pass variant of
+    :func:`_trace_shard` (round-5 forward speed-of-light work).
+
+    The single-launch kernel runs each tile until its LAST lane exhausts its
+    sample budget; measured on the flagship (scripts/exp_fwd.py --tail),
+    that wastes 2.1x the executed work, because a lane owns ALL spp samples
+    of one pixel and per-pixel path cost varies wildly (glass-interior
+    pixels sweep ~19 bounces/sample vs ~1 for sky). Static cures fail:
+    sorting pixels by a pilot cost estimate recovers only ~1.25x (per-sample
+    path-length variance dominates the between-pixel means), and splitting
+    a pixel's budget over G slots without rebalancing recovers nothing. The
+    fix must react to the REALIZED demand — the same conclusion pathrec's
+    recording reached (pathrec.py default_schedule):
+
+    * every pass caps the while-loop at ``budget`` trips and saves per-slot
+      state (ray, throughput, radiance, counters, 16 f32 planes);
+    * between passes, slots are stable-partitioned so unfinished ones pack
+      densely into the front tiles (XLA cumsum+scatter, no sort);
+    * finished slots ride along in the back tiles, which fail the kernel's
+      alive() check on entry and cost ~one DMA each;
+    * the last pass runs unbounded, so the estimator completes EXACTLY —
+      every sample traced to termination, radiance bit-carried across pass
+      boundaries (no truncation, nothing to assert).
+
+    Simulated on measured demand: budget=32 x 26 passes executes 1.98x
+    fewer tile-trips than the single launch; measured end-to-end gain is
+    below that only by the per-pass launch+partition overhead.
+    """
+    rs = tile_sublanes
+    h, w = camera.height, camera.width
+    lanes = rs * 128
+    n_tiles = -(-n_local // lanes)
+    nsub = n_tiles * rs
+    cap = nsub * 128
+
+    n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
+    m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
+    gm = use_global_materials(scene)
+    cam = _camera_vector(camera)
+    if gm:
+        cam = jnp.concatenate([cam, _scene_globals(scene)])
+    tabs, blk_inputs, n_pad, m_pad = _smem_scene_inputs(
+        scene, gm, blk, unroll, n_pad, m_pad)
+    base_inputs = [cam] + tabs + blk_inputs
+
+    smem_bytes = sum(4 * int(jnp.size(x)) for x in base_inputs) + 8
+    if smem_bytes > SMEM_BUDGET:
+        raise ValueError(
+            f"scene tables need {smem_bytes} bytes of SMEM (> ~900KB "
+            "budget); use engine='xla' or the streamed path")
+
+    out_shape = jax.ShapeDtypeStruct((nsub, 128), jnp.float32)
+    out_spec = pl.BlockSpec((rs, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((16, nsub, 128), jnp.float32)
+    st_spec = pl.BlockSpec((16, rs, 128), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def launch(pass_idx, pix_ids, st):
+        first = pass_idx == 0
+        last = pass_idx == passes - 1
+        kern = functools.partial(
+            _kernel, width=w, height=h, n_pad=n_pad, m_pad=m_pad, spp=spp,
+            max_depth=max_depth, t_min=t_min, jitter=jitter,
+            has_motion=scene.has_motion, rs=rs, unroll=unroll, gm=gm,
+            blk=blk, tree=tree, budget=0 if last else budget,
+            resume=not first, save_state=not last, pix_table=True)
+        # per-pass PRNG decorrelation (Weyl step, wraps mod 2^32)
+        seed_arr = jnp.stack([
+            (jnp.asarray(seed, jnp.int32)
+             + jnp.int32(pass_idx) * jnp.int32(-1640531527)).reshape(()),
+            jnp.asarray(pix_offset, jnp.int32).reshape(()),
+        ])
+        inputs = base_inputs + [seed_arr,
+                                pix_ids.reshape(nsub, 128)]
+        in_specs = [smem] * (len(base_inputs) + 1) + [out_spec]
+        if not first:
+            inputs.append(st.reshape(16, nsub, 128))
+            in_specs.append(st_spec)
+        out_shapes = (out_shape, out_shape, out_shape)
+        out_specs = (out_spec, out_spec, out_spec)
+        if not last:
+            out_shapes = out_shapes + (st_shape,)
+            out_specs = out_specs + (st_spec,)
+        return pl.pallas_call(
+            kern, grid=(n_tiles,), in_specs=in_specs,
+            out_shape=out_shapes, out_specs=out_specs,
+            interpret=interpret,
+        )(*inputs)
+
+    # pass 0 slot order = flat pixel order; -1 pads slots beyond the shard
+    pix = pix_offset + jnp.arange(cap, dtype=jnp.int32)
+    pix = jnp.where(jnp.arange(cap) < n_local, pix, -1)
+    st = None
+    for p in range(passes):
+        out = launch(p, pix, st)
+        if p == passes - 1:
+            r, g, b = out
+            break
+        st = out[3].reshape(16, cap)
+        # stable partition: unfinished slots (mid-path or samples left) to
+        # the front so later tiles go fully dead and exit on entry
+        unfinished = (st[15] > 0.0) | (st[14] > 0.0)
+        pos_a = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
+        n_unf = pos_a[-1] + 1
+        pos = jnp.where(
+            unfinished, pos_a,
+            n_unf + jnp.cumsum((~unfinished).astype(jnp.int32)) - 1)
+        order = jnp.zeros((cap,), jnp.int32).at[pos].set(
+            jnp.arange(cap, dtype=jnp.int32))
+        st = st[:, order]
+        pix = pix[order]
+
+    flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+    # slots are a permutation of the shard's pixels: scatter back to flat
+    # pixel order (retired -1 slots dropped)
+    return jnp.zeros((n_local, 3), jnp.float32).at[
+        pix - pix_offset].set(flat, mode="drop")
 
 
 def _trace_shard_streamed(scene, camera, seed_arr, cam, n_local, nsub,
@@ -1422,19 +1616,27 @@ def _resolve_blk(scene: Scene, culling: Optional[bool],
     jax.jit,
     static_argnames=("spp", "max_depth", "t_min", "jitter", "tile_sublanes",
                      "unroll", "interpret", "blk", "tree", "stream",
-                     "stream_cull"),
+                     "stream_cull", "budget", "passes"),
 )
 def _render_pallas_impl(scene: Scene, camera: Camera, seed, *, spp: int,
                         max_depth: int, t_min: float, jitter: bool,
                         tile_sublanes: int, unroll: int, interpret: bool,
                         blk: int = 0, tree: bool = True, stream: int = 0,
-                        stream_cull: bool = True):
+                        stream_cull: bool = True, budget: int = 0,
+                        passes: int = 0):
     h, w = camera.height, camera.width
-    flat = _trace_shard(
-        scene, camera, seed, 0, h * w, spp=spp, max_depth=max_depth,
-        t_min=t_min, jitter=jitter, tile_sublanes=tile_sublanes,
-        unroll=unroll, interpret=interpret, blk=blk, tree=tree,
-        stream=stream, stream_cull=stream_cull)
+    if passes > 1 and not stream:
+        flat = _trace_shard_compact(
+            scene, camera, seed, 0, h * w, spp=spp, max_depth=max_depth,
+            t_min=t_min, jitter=jitter, tile_sublanes=tile_sublanes,
+            unroll=unroll, interpret=interpret, blk=blk, tree=tree,
+            budget=budget, passes=passes)
+    else:
+        flat = _trace_shard(
+            scene, camera, seed, 0, h * w, spp=spp, max_depth=max_depth,
+            t_min=t_min, jitter=jitter, tile_sublanes=tile_sublanes,
+            unroll=unroll, interpret=interpret, blk=blk, tree=tree,
+            stream=stream, stream_cull=stream_cull)
     return (flat.reshape(h, w, 3) / float(spp)).astype(camera.dtype)
 
 
@@ -1445,7 +1647,9 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
                   culling: Optional[bool] = None,
                   block_size: int = DEFAULT_BLOCK,
                   tree: bool = True,
-                  stream: Optional[int] = None) -> jnp.ndarray:
+                  stream: Optional[int] = None,
+                  budget: Optional[int] = None,
+                  passes: Optional[int] = None) -> jnp.ndarray:
     """Render via the fused Pallas megakernel; drop-in for
     :func:`rayz_tpu.ops.integrator.render` on supported scenes.
 
@@ -1495,11 +1699,21 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
         interpret = pltpu.InterpretParams()
     seed = key if not is_prng_key(key) else jax.random.randint(
         key, (), 0, jnp.iinfo(jnp.int32).max)
+    # Straggler-compacted respawn (see _trace_shard_compact): default ON for
+    # SMEM-resident scenes with a meaningful sample budget — there the
+    # per-tile last-lane tail costs ~2x (measured: flagship 20.4 -> ~30
+    # Mrays/s). Below spp 16 the tail is small and the per-pass overhead
+    # wins. budget/passes=0|1 forces the single launch.
+    if passes is None:
+        passes = 10 if (not stream and config.spp >= 16) else 0
+    if budget is None:
+        budget = config.spp
     return _render_pallas_impl(
         scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
         t_min=config.t_min, jitter=config.jitter,
         tile_sublanes=tile_sublanes, unroll=unroll, interpret=interpret,
-        blk=blk, tree=tree, stream=stream, stream_cull=stream_cull)
+        blk=blk, tree=tree, stream=stream, stream_cull=stream_cull,
+        budget=budget, passes=passes)
 
 
 @functools.partial(

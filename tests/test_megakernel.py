@@ -480,3 +480,30 @@ def test_nested_checker_rejected_not_degraded():
     flat = b2.add_checker_texture(0.5, e2, o2)
     b2.add_sphere((0, -100.5, -1), 100.0, b2.add_diffuse(texture=flat))
     assert not b2.build().deep_checker
+
+
+def test_compact_respawn_matches_single_launch():
+    """Straggler-compacted respawn (_trace_shard_compact): budgeted passes +
+    between-pass slot compaction must reproduce the single-launch render
+    EXACTLY on a deterministic config — interrupting a path mid-flight and
+    resuming it from saved state (in a different slot position) may not
+    change a single bit of radiance. Covers glass (deep interior paths get
+    interrupted by the tiny budgets), metal, diffuse, and triangles."""
+    b = SceneBuilder()
+    m = b.add_metallic(color=(0.8, 0.7, 0.6), fuzz=0.0)
+    b.add_sphere((0, -100.5, -2), 100.0, m)
+    b.add_sphere((0, 0, -2), 0.5, m)
+    b.add_sphere((1.1, 0, -2.5), 0.5, b.add_dielectric(1.5))
+    b.add_triangle((-1.6, 0.0, -2.5), (-0.8, 0.0, -2.5), (-1.2, 0.9, -2.5),
+                   b.add_diffuse(color=(0.7, 0.2, 0.2)))
+    scene = b.build(dtype=jnp.float32)
+    cam = rt.make_camera(width=64, height=32, vfov=55.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1),
+                         dtype=jnp.float32)
+    cfg = rt.RenderConfig(spp=2, max_depth=6, jitter=False)
+    ref = np.asarray(render_pallas(scene, cam, 0, cfg, passes=0))
+    for budget, passes in ((1, 20), (3, 4), (2, 3)):
+        img = np.asarray(render_pallas(scene, cam, 0, cfg, budget=budget,
+                                       passes=passes))
+        np.testing.assert_allclose(img, ref, atol=0,
+                                   err_msg=f"budget={budget} passes={passes}")
