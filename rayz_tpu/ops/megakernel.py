@@ -177,13 +177,17 @@ def _stream_smem_words(scene: Scene, stream_chunk: int, blk: int) -> int:
     rows_s = _round_up(_GNROWS if gm else _NROWS, 8)
     rows_t = _round_up(_TGNROWS if gm else _TNROWS, 8)
     words = 18 + (8 if gm else 0) + 2
-    for n, rows in ((n_pad, rows_s), (m_pad, rows_t)):
+    n_r = _round_up(n_pad, stream_chunk) if n_pad else 0
+    m_r = _round_up(m_pad, stream_chunk) if m_pad else 0
+    sc_group = _pick_sc_group(max(n_r, m_r) // stream_chunk)
+    for n, rows in ((n_r, rows_s), (m_r, rows_t)):
         if n:
-            n = _round_up(n, stream_chunk)
             words += rows * stream_chunk      # chunk scratch (8-row padded)
             if blk:
                 words += 8 * (stream_chunk // blk)  # block-row scratch
             words += 4 * (n // stream_chunk)  # resident chunk bounds
+            if _sc_enabled(n, stream_chunk, sc_group):
+                words += 4 * (n // (stream_chunk * sc_group))
     return words
 
 
@@ -880,26 +884,19 @@ def _kernel(cam_ref, *args,
                          blk_sc, sem_slot, group_fn):
             """Chunked HBM->SMEM streaming sweep: per chunk, a bounding-
             sphere test (same math as _culled_loop's, bound rows resident in
-            SMEM) decides whether to run the sweep; the chunk's table slice
-            is DMA'd into SMEM scratch unconditionally (DMA is ~250x cheaper
-            than the sweep it feeds, so fetch-always keeps the lowering
-            simple), with the bound test evaluated while the copy is in
-            flight. Inside a fetched chunk the existing 64-block culled loop
-            runs against the streamed block rows — a two-level hierarchy:
-            chunk bound, then block bound, then candidates."""
+            SMEM) decides whether the chunk is touched AT ALL — the table
+            slice is DMA'd into SMEM scratch only inside the taken branch
+            (round-5: prune before DMA — at ~50 slot-iterations per tile the
+            re-streamed table makes this kernel BANDWIDTH-bound at 64k+, so
+            a skipped chunk must skip its HBM traffic, not just its sweep;
+            the serialized DMA latency inside the branch is ~1us vs the
+            ~100us sweep it feeds). Inside a fetched chunk the existing
+            block-culled loop runs against the streamed block rows — a
+            two-level hierarchy: chunk bound, then block bound, then
+            candidates."""
             n_chunks = n_items // stream
 
             def chunk_body(c, h):
-                cp = pltpu.make_async_copy(
-                    hbm_ref.at[:, pl.ds(c * stream, stream)], sc_ref,
-                    sem_ref.at[sem_slot])
-                cp.start()
-                if blk:
-                    nb = stream // blk
-                    cp2 = pltpu.make_async_copy(
-                        blkh_ref.at[:, pl.ds(c * nb, nb)], blk_sc,
-                        sem_ref.at[sem_slot + 1])
-                    cp2.start()
                 qb = h[0]
                 bx = cbnd_ref[0, c]
                 by = cbnd_ref[1, c]
@@ -910,11 +907,20 @@ def _kernel(cam_ref, *args,
                 disc = hb * hb - a * (ccb - 2.0 * ob + o2)
                 rtb = jnp.sqrt(disc)  # NaN on miss -> compares false
                 possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
-                cp.wait()
-                if blk:
-                    cp2.wait()
 
                 def run(h):
+                    cp = pltpu.make_async_copy(
+                        hbm_ref.at[:, pl.ds(c * stream, stream)], sc_ref,
+                        sem_ref.at[sem_slot])
+                    cp.start()
+                    if blk:
+                        nb = stream // blk
+                        cp2 = pltpu.make_async_copy(
+                            blkh_ref.at[:, pl.ds(c * nb, nb)], blk_sc,
+                            sem_ref.at[sem_slot + 1])
+                        cp2.start()
+                        cp2.wait()
+                    cp.wait()
                     if blk:
                         return _culled_loop(h, stream, blk_sc, group_fn)
                     return jax.lax.fori_loop(
@@ -1372,7 +1378,8 @@ def _trace_shard_streamed(scene, camera, seed_arr, cam, n_local, nsub,
             "accounting)")
     assert blk == 0 or (stream // blk) % 128 == 0, \
         "block-row DMA slices must be 128-aligned"
-    (tabs, hbm_specs, cbnds, blk_hbm, n_pad, m_pad) = _stream_scene_inputs(
+    (tabs, hbm_specs, cbnds, _scb, blk_hbm, n_pad,
+     m_pad) = _stream_scene_inputs(
         scene, gm, stream, blk, _cam_origin(camera), n_pad, m_pad)
     inputs = [cam] + tabs + cbnds
     smem_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(cbnds)
@@ -1540,16 +1547,39 @@ def _smem_scene_inputs(scene: Scene, gm: bool, blk: int, unroll: int,
     return tabs, blk_inputs, n_pad, m_pad
 
 
+def _sc_enabled(n_items: int, stream: int, sc_group: int) -> bool:
+    """Whether the supercluster bound level applies to a streamed class:
+    the chunk count must split evenly into >= 2 groups of ``sc_group``."""
+    if not (sc_group and n_items and stream):
+        return False
+    n_chunks = n_items // stream
+    return n_chunks % sc_group == 0 and n_chunks // sc_group >= 2
+
+
+def _pick_sc_group(n_chunks: int) -> int:
+    """Supercluster size (chunks per group) for a streamed class: the first
+    small divisor that yields >= 2 groups, 0 if none."""
+    for g in (5, 4, 6, 7, 8, 3, 2):
+        if n_chunks % g == 0 and n_chunks // g >= 2:
+            return g
+    return 0
+
+
 def _stream_scene_inputs(scene: Scene, gm: bool, stream: int, blk: int,
-                         origin, n_pad: int, m_pad: int):
+                         origin, n_pad: int, m_pad: int, sc_group: int = 0):
     """Streamed (HBM-resident) table prep shared by the megakernel and the
     wavefront kernel: Morton sort + chunk padding + near-to-far chunk and
     within-chunk block ordering + resident chunk bounds + block-row HBM
-    slabs. Returns (HBM tables, their specs, SMEM chunk-bound rows, block
+    slabs. With ``sc_group``, also SMEM-resident SUPERCLUSTER bound rows
+    (one bounding sphere per ``sc_group`` consecutive chunks) for classes
+    where :func:`_sc_enabled` holds — the level above chunks that prunes
+    whole chunk groups before any of their DMAs issue. Returns (HBM tables,
+    their specs, SMEM chunk-bound rows, SMEM supercluster-bound rows, block
     HBM slabs, padded counts)."""
     tabs = []
     hbm_specs = []
     cbnds = []
+    scbnds = []
     blk_hbm = []
     if n_pad:
         stab = scene_tables_gm(scene) if gm else scene_tables(scene)
@@ -1573,6 +1603,8 @@ def _stream_scene_inputs(scene: Scene, gm: bool, stream: int, blk: int,
         tabs.append(stab)
         hbm_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         cbnds.append(_block_rows(lo, hi, valid, stream))
+        if _sc_enabled(n_pad, stream, sc_group):
+            scbnds.append(_block_rows(lo, hi, valid, stream * sc_group))
         if blk:
             br = _block_rows(lo, hi, valid, blk)
             blk_hbm.append(jnp.pad(br, ((0, 4), (0, 0))))
@@ -1597,10 +1629,12 @@ def _stream_scene_inputs(scene: Scene, gm: bool, stream: int, blk: int,
         tabs.append(ttab)
         hbm_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         cbnds.append(_block_rows(lo, hi, valid, stream))
+        if _sc_enabled(m_pad, stream, sc_group):
+            scbnds.append(_block_rows(lo, hi, valid, stream * sc_group))
         if blk:
             br = _block_rows(lo, hi, valid, blk)
             blk_hbm.append(jnp.pad(br, ((0, 4), (0, 0))))
-    return tabs, hbm_specs, cbnds, blk_hbm, n_pad, m_pad
+    return tabs, hbm_specs, cbnds, scbnds, blk_hbm, n_pad, m_pad
 
 
 def _resolve_blk(scene: Scene, culling: Optional[bool],
@@ -1677,6 +1711,15 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
     if stream is None:
         stream = 0 if fits_smem(scene, culling, block_size) \
             else DEFAULT_STREAM_CHUNK
+    if culling is None and not stream:
+        # Round-5 re-measure (CULLING_BENCH.json, 5 seeds/row): with the
+        # straggler-compacted respawn the in-SMEM block bound tests read
+        # 0.93-1.04x across 512..16k — the compaction captured the tail
+        # the bound tests were partially hiding, and what remains is pure
+        # overhead at mid N. Auto-culling now applies only to the streamed
+        # hierarchy (chunk/supercluster bounds, where it measures 1.9-2.2x);
+        # pass culling=True to force the in-SMEM block tests.
+        blk = 0
     stream_cull = culling is not False
     if stream and tile_sublanes == 16:
         tile_sublanes = 32  # measured +14% at 64k (amortizes chunk DMAs)

@@ -126,7 +126,8 @@ def supports_wavefront(scene: Scene) -> bool:
 
 def _wf_kernel(*args, n_pad: int, m_pad: int, t_min: float,
                has_motion: bool, rs: int, unroll: int, gm: bool, blk: int,
-               stream: int, stream_cull: bool, loop_bounces: int = 1):
+               stream: int, stream_cull: bool, sc_group: int = 0,
+               loop_bounces: int = 1):
     """One grid step = one bounce of one tile of rs*128 rays.
 
     Positional refs: seed [2] SMEM (seed, depth), gm globals [8] SMEM iff
@@ -141,10 +142,15 @@ def _wf_kernel(*args, n_pad: int, m_pad: int, t_min: float,
     seed_ref = refs.pop(0)
     glob_ref = refs.pop(0) if gm else None
     if stream:
+        from .megakernel import _sc_enabled
+        sc_s = _sc_enabled(n_pad, stream, sc_group)
+        sc_t = _sc_enabled(m_pad, stream, sc_group)
         s_hbm = refs.pop(0) if n_pad else None
         t_hbm = refs.pop(0) if m_pad else None
         s_cbnd = refs.pop(0) if n_pad else None
         t_cbnd = refs.pop(0) if m_pad else None
+        s_scb = refs.pop(0) if sc_s else None
+        t_scb = refs.pop(0) if sc_t else None
         s_blkh = refs.pop(0) if (n_pad and blk) else None
         t_blkh = refs.pop(0) if (m_pad and blk) else None
         tab_ref = tri_ref = None
@@ -370,40 +376,53 @@ def _wf_kernel(*args, n_pad: int, m_pad: int, t_min: float,
                 return jax.lax.fori_loop(
                     0, nb, lambda i, h: block_body(i, h, want_near=False), h)
 
-            def _stream_loop(h, n_items, hbm_ref, cbnd_ref, blkh_ref, sc_ref,
-                             blk_sc, sem_slot, group_fn):
+            def _stream_loop(h, n_items, hbm_ref, cbnd_ref, scb_ref,
+                             blkh_ref, scr_ref, blk_sc, sem_slot, group_fn,
+                             use_sc):
+                """Streamed sweep with a THREE-level bound hierarchy
+                (round-5): supercluster (``sc_group`` chunks, bounds
+                resident in SMEM) -> chunk (bounds resident) -> block
+                (streamed rows). A pruned supercluster skips its member
+                chunks' tests AND DMAs; a pruned chunk skips its DMA (the
+                copy now issues inside the taken branch — prune before DMA,
+                round-4 verdict #2). Two passes: tile-local superclusters/
+                chunks first (winner distance collapses on the local
+                neighborhood), then the global near-to-far remainder."""
                 n_chunks = n_items // stream
 
-                def chunk_body(c, h, want_near):
-                    cp = pltpu.make_async_copy(
-                        hbm_ref.at[:, pl.ds(c * stream, stream)], sc_ref,
-                        sem_ref.at[sem_slot])
-                    cp.start()
-                    if blk:
-                        nb = stream // blk
-                        cp2 = pltpu.make_async_copy(
-                            blkh_ref.at[:, pl.ds(c * nb, nb)], blk_sc,
-                            sem_ref.at[sem_slot + 1])
-                        cp2.start()
-                    qb = h[0]
-                    bx = cbnd_ref[0, c]
-                    by = cbnd_ref[1, c]
-                    bz = cbnd_ref[2, c]
-                    ccb = cbnd_ref[3, c]
+                def bound_test(ref, c, qb):
+                    bx = ref[0, c]
+                    by = ref[1, c]
+                    bz = ref[2, c]
+                    ccb = ref[3, c]
                     hb = dx * bx + dy * by + dz * bz - d_dot_o
                     ob = ox * bx + oy * by + oz * bz
                     disc = hb * hb - a * (ccb - 2.0 * ob + o2)
                     rtb = jnp.sqrt(disc)
                     possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
-                    sel = jnp.any(possible)
+                    return jnp.any(possible), (bx, by, bz, ccb)
+
+                def chunk_body(c, h, want_near):
+                    qb = h[0]
+                    sel, (bx, by, bz, ccb) = bound_test(cbnd_ref, c, qb)
                     if want_near is not None:
                         near = is_near(bx, by, bz, ccb)
-                        sel = sel & (near if want_near else jnp.logical_not(near))
-                    cp.wait()
-                    if blk:
-                        cp2.wait()
+                        sel = sel & (near if want_near
+                                     else jnp.logical_not(near))
 
                     def run(h):
+                        cp = pltpu.make_async_copy(
+                            hbm_ref.at[:, pl.ds(c * stream, stream)],
+                            scr_ref, sem_ref.at[sem_slot])
+                        cp.start()
+                        if blk:
+                            nb = stream // blk
+                            cp2 = pltpu.make_async_copy(
+                                blkh_ref.at[:, pl.ds(c * nb, nb)], blk_sc,
+                                sem_ref.at[sem_slot + 1])
+                            cp2.start()
+                            cp2.wait()
+                        cp.wait()
                         if blk:
                             # within-chunk blocks are local by construction:
                             # single near-to-far pass
@@ -419,6 +438,31 @@ def _wf_kernel(*args, n_pad: int, m_pad: int, t_min: float,
                 if not stream_cull:
                     return jax.lax.fori_loop(
                         0, n_chunks, lambda c, h: chunk_body(c, h, None), h)
+
+                if use_sc:
+                    def sc_body(s, h, want_near):
+                        sel, (bx, by, bz, ccb) = bound_test(scb_ref, s, h[0])
+                        if want_near:
+                            # chunk near => chunk overlaps the tile bound =>
+                            # its supercluster (a superset) does too: a
+                            # non-overlapping supercluster has no near
+                            # member and the whole group skips
+                            sel = sel & is_near(bx, by, bz, ccb)
+
+                        def run_sc(h):
+                            return jax.lax.fori_loop(
+                                0, sc_group,
+                                lambda k, h: chunk_body(
+                                    s * sc_group + k, h, want_near), h)
+
+                        return jax.lax.cond(sel, run_sc, lambda h: h, h)
+
+                    n_sc = n_chunks // sc_group
+                    h = jax.lax.fori_loop(
+                        0, n_sc, lambda s, h: sc_body(s, h, True), h)
+                    return jax.lax.fori_loop(
+                        0, n_sc, lambda s, h: sc_body(s, h, False), h)
+
                 h = jax.lax.fori_loop(
                     0, n_chunks, lambda c, h: chunk_body(c, h, True), h)
                 return jax.lax.fori_loop(
@@ -430,8 +474,8 @@ def _wf_kernel(*args, n_pad: int, m_pad: int, t_min: float,
             h = hit0
             if n_pad:
                 if stream:
-                    h = _stream_loop(h, n_pad, s_hbm, s_cbnd, s_blkh, tab_ref,
-                                     sblk_ref, 0, sph_group)
+                    h = _stream_loop(h, n_pad, s_hbm, s_cbnd, s_scb, s_blkh,
+                                     tab_ref, sblk_ref, 0, sph_group, sc_s)
                 elif blk:
                     h = _culled_loop(h, n_pad, sblk_ref, sph_group)
                 else:
@@ -439,8 +483,8 @@ def _wf_kernel(*args, n_pad: int, m_pad: int, t_min: float,
                         0, (n_pad + unroll - 1) // unroll, sph_group, h)
             if m_pad:
                 if stream:
-                    h = _stream_loop(h, m_pad, t_hbm, t_cbnd, t_blkh, tri_ref,
-                                     tblk_ref, 2, tri_group)
+                    h = _stream_loop(h, m_pad, t_hbm, t_cbnd, t_scb, t_blkh,
+                                     tri_ref, tblk_ref, 2, tri_group, sc_t)
                 elif blk:
                     h = _culled_loop(h, m_pad, tblk_ref, tri_group)
                 else:
@@ -668,13 +712,14 @@ def _scene_bounds(scene: Scene):
     jax.jit,
     static_argnames=("spp", "max_depth", "t_min", "jitter", "tile_sublanes",
                      "unroll", "interpret", "blk", "stream", "stream_cull",
-                     "sort", "debug_counts"),
+                     "sort", "resort", "debug_counts"),
 )
 def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
                            max_depth: int, t_min: float, jitter: bool,
                            tile_sublanes: int, unroll: int, interpret,
                            blk: int, stream: int, stream_cull: bool,
-                           sort: bool, debug_counts: bool = False):
+                           sort: bool, resort: bool = False,
+                           debug_counts: bool = False):
     h, w = camera.height, camera.width
     n_px = h * w
     rs = tile_sublanes
@@ -722,12 +767,17 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
     m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
     origin = _cam_origin(camera)
     if stream:
-        (tabs, hbm_specs, cbnds, blk_hbm, n_pad,
+        from .megakernel import _pick_sc_group, _round_up as _ru
+        n_r = _ru(n_pad, stream) if n_pad else 0
+        m_r = _ru(m_pad, stream) if m_pad else 0
+        sc_group = _pick_sc_group(max(n_r, m_r) // stream)
+        (tabs, hbm_specs, cbnds, scbnds, blk_hbm, n_pad,
          m_pad) = _stream_scene_inputs(scene, gm, stream, blk, origin,
-                                       n_pad, m_pad)
-        tab_inputs = tabs + cbnds + blk_hbm
+                                       n_pad, m_pad, sc_group)
+        tab_inputs = tabs + cbnds + scbnds + blk_hbm
         tab_specs = (hbm_specs
-                     + [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(cbnds)
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                     * (len(cbnds) + len(scbnds))
                      + [pl.BlockSpec(memory_space=pl.ANY)] * len(blk_hbm))
         from .megakernel import _GNROWS, _NROWS, _TGNROWS, _TNROWS
         rows_s = _round_up(_GNROWS if gm else _NROWS, 8)
@@ -760,6 +810,7 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
             _wf_kernel, n_pad=n_pad, m_pad=m_pad,
             t_min=t_min, has_motion=scene.has_motion, rs=rs, unroll=unroll,
             gm=gm, blk=blk, stream=stream, stream_cull=stream_cull,
+            sc_group=sc_group if stream else 0,
             loop_bounces=loop_k)
 
     st_spec = pl.BlockSpec((_ST, rs, 128), lambda i: (0, i, 0),
@@ -811,7 +862,7 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
     for depth_i in range(n_sync):
         alive_counts.append(jnp.sum(alive))
         if sort and depth_i > 0:
-            if depth_i == 1:
+            if depth_i == 1 or resort:
                 # ONE full Morton sort where it pays: camera patches
                 # project onto wildly different world areas (perspective),
                 # so bounce-1 tiles need re-clustering — measured ~3x
@@ -878,7 +929,8 @@ def render_wavefront(scene: Scene, camera: Camera, key, config=None, *,
                      tile_sublanes=None, unroll: int = 8,
                      interpret=None, culling=None,
                      block_size: int = DEFAULT_BLOCK,
-                     stream=None, sort: bool = True) -> jnp.ndarray:
+                     stream=None, sort: bool = True,
+                     resort: bool = False) -> jnp.ndarray:
     """Bounce-synchronous wavefront render (module docstring); drop-in for
     :func:`rayz_tpu.ops.megakernel.render_pallas` on supported scenes.
     Intended for LARGE scenes (>= ~10k primitives) where sorted-ray
@@ -927,4 +979,5 @@ def render_wavefront(scene: Scene, camera: Camera, key, config=None, *,
         scene, camera, seed, spp=config.spp, max_depth=config.max_depth,
         t_min=config.t_min, jitter=config.jitter,
         tile_sublanes=tile_sublanes, unroll=unroll, interpret=interpret,
-        blk=blk, stream=stream, stream_cull=stream_cull, sort=sort)
+        blk=blk, stream=stream, stream_cull=stream_cull, sort=sort,
+        resort=resort)

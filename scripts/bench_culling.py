@@ -30,18 +30,27 @@ import rayz_tpu as rt
 from rayz_tpu.ops.megakernel import render_pallas
 
 
-def time_render(scene, camera, config, culling: bool, seeds=(1, 2)) -> float:
+SEEDS = (1, 2, 3, 4, 5)  # round-4 verdict #4: 5 runs per row
+
+
+def _time_fn(run, seeds=SEEDS):
+    """(best, median) seconds over seeds; compile excluded."""
+    run(0)
+    times = []
+    for s in seeds:
+        t0 = time.perf_counter()
+        run(s)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[0], times[len(times) // 2]
+
+
+def time_render(scene, camera, config, culling: bool, seeds=SEEDS):
     def run(seed):
         return jax.device_get(render_pallas(scene, camera, seed, config,
                                             culling=culling))
 
-    run(0)  # compile
-    best = float("inf")
-    for s in seeds:
-        t0 = time.perf_counter()
-        run(s)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return _time_fn(run, seeds)
 
 
 def main() -> None:
@@ -62,34 +71,36 @@ def main() -> None:
         rays = camera.width * camera.height * args.spp
         from rayz_tpu.ops.megakernel import fits_smem
         row = {"n_spheres": n, "width": args.width, "spp": args.spp,
-               "depth": args.depth, "streamed": not fits_smem(scene)}
+               "depth": args.depth, "streamed": not fits_smem(scene),
+               "seeds": len(SEEDS)}
         for mode in (False, True):
-            dt = time_render(scene, camera, config, culling=mode)
-            row["culling_on" if mode else "brute_force"] = round(
-                rays / dt / 1e6, 3)
+            best, med = time_render(scene, camera, config, culling=mode)
+            key = "culling_on" if mode else "brute_force"
+            row[key] = round(rays / best / 1e6, 3)
+            row[key + "_median"] = round(rays / med / 1e6, 3)
         row["speedup"] = round(row["culling_on"] / row["brute_force"], 2)
         # wavefront engine (sorted per-bounce coherence; the auto choice
         # for streamed scenes — see ops/engine.pick_engine)
         from rayz_tpu.ops.wavefront import render_wavefront
 
         def run_wf(seed):
-            return jax.device_get(render_wavefront(
-                scene, camera, seed, config, tile_sublanes=32))
+            return jax.device_get(render_wavefront(scene, camera, seed,
+                                                   config))
 
-        run_wf(0)
-        best = float("inf")
-        for s in (1, 2):
-            t0 = time.perf_counter()
-            run_wf(s)
-            best = min(best, time.perf_counter() - t0)
+        best, med = _time_fn(run_wf)
         row["wavefront"] = round(rays / best / 1e6, 3)
+        row["wavefront_median"] = round(rays / med / 1e6, 3)
         row["best_speedup"] = round(
             max(row["culling_on"], row["wavefront"]) / row["brute_force"], 2)
         print(json.dumps(row), flush=True)
         results.append(row)
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"unit": "Mrays/s", "rows": results}, f, indent=1)
+            json.dump({"unit": "Mrays/s", "rows": results,
+                       "knobs": "render_pallas/render_wavefront defaults "
+                                "(compact respawn ON at spp>=16; wavefront "
+                                "tile_sublanes per-regime; supercluster "
+                                "hierarchy in streamed mode)"}, f, indent=1)
 
 
 if __name__ == "__main__":
