@@ -9,8 +9,9 @@ XLA path as the reference oracle):
 * ``"wavefront"`` — :func:`rayz_tpu.ops.wavefront.render_wavefront`:
   bounce-synchronous sorted-ray engine; fastest for LARGE streamed scenes
   (beyond the SMEM budget), where per-bounce ray coherence lets the
-  chunk/block bound tests prune (measured +47% at 64k and +75% at 100k
-  primitives over the persistent streamed kernel, tail fusion included); not differentiable.
+  supercluster/chunk/block bound tests prune (measured +73% at 64k and
+  +92% at 100k primitives over the persistent streamed kernel, round-5
+  CULLING_BENCH.json); not differentiable.
 * ``"xla"`` — :func:`rayz_tpu.ops.integrator.render`: the reference oracle
   (also handles arbitrarily nested textures) and the reverse-mode
   differentiable path; inverse rendering always uses this.

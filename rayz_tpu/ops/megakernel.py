@@ -1353,9 +1353,12 @@ def _trace_shard_compact(scene: Scene, camera: Camera, seed, pix_offset,
 
     flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     # slots are a permutation of the shard's pixels: scatter back to flat
-    # pixel order (retired -1 slots dropped)
-    return jnp.zeros((n_local, 3), jnp.float32).at[
-        pix - pix_offset].set(flat, mode="drop")
+    # pixel order. Retired (-1) slots must map to an OUT-OF-RANGE
+    # non-negative index: mode="drop" only drops indices past the end —
+    # negative ones WRAP, and -1 would overwrite the shard's last pixel.
+    tgt = jnp.where(pix >= 0, pix - pix_offset, n_local)
+    return jnp.zeros((n_local, 3), jnp.float32).at[tgt].set(
+        flat, mode="drop")
 
 
 def _trace_shard_streamed(scene, camera, seed_arr, cam, n_local, nsub,
@@ -1693,10 +1696,20 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
     (``_resolve_tiling``): 16/8 is the measured v5e optimum for the
     ~500-sphere flagship, 32/16 for the triangle-dominant Cornell box.
 
-    ``culling``: block culling (the BVH capability, hit.zig:101-217, redone
-    TPU-style — Morton-sorted primitive blocks behind tile-wide bounding-
-    sphere tests). Default None auto-enables at >= CULLING_AUTO_THRESHOLD
-    primitives; pass True/False to force.
+    ``culling``: bound-test culling (the BVH capability, hit.zig:101-217,
+    redone TPU-style — Morton-sorted primitive blocks/chunks/superclusters
+    behind tile-wide bounding-sphere tests). Default None enables the
+    hierarchy for STREAMED scenes only: for SMEM-resident scenes the
+    round-5 re-measure (CULLING_BENCH.json) put the in-SMEM block tests at
+    0.93-1.04x once the compacted respawn removed the straggler tail they
+    were partially masking. Pass True to force the in-SMEM block tests,
+    False to disable all bound tests.
+
+    ``budget``/``passes``: the straggler-compacted respawn schedule
+    (:func:`_trace_shard_compact` — the round-5 +55% forward lever).
+    Defaults: budget=spp trips per launch, 10 passes, enabled for
+    SMEM-resident scenes at spp >= 16; ``passes=0`` forces the single
+    launch. Deterministic configs render bit-identically either way.
     """
     if not supports_scene(scene):
         if scene.deep_checker:
@@ -1762,11 +1775,11 @@ def render_pallas(scene: Scene, camera: Camera, key, config, *,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "mesh", "tile_sublanes", "unroll", "interp",
-                     "blk"),
+                     "blk", "budget", "passes"),
 )
 def _render_sharded_impl(scene: Scene, camera: Camera, seed, *, config, mesh,
                          tile_sublanes: int, unroll: int, interp: bool,
-                         blk: int = 0):
+                         blk: int = 0, budget: int = 0, passes: int = 0):
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map as _shard_map
@@ -1784,11 +1797,18 @@ def _render_sharded_impl(scene: Scene, camera: Camera, seed, *, config, mesh,
         idx = jax.lax.axis_index(axis)
         # decorrelate device streams (Weyl step, wraps mod 2^32)
         dseed = seed + idx * jnp.int32(-1640531527)
-        return _trace_shard(
-            scene, camera, dseed, idx * shard_px, shard_px,
+        kw = dict(
             spp=config.spp, max_depth=config.max_depth, t_min=config.t_min,
             jitter=config.jitter, tile_sublanes=tile_sublanes, unroll=unroll,
             interpret=interpret, blk=blk)
+        if passes > 1:
+            # per-shard straggler-compacted respawn (the partition/gather
+            # glue is shard-local, collective-free)
+            return _trace_shard_compact(
+                scene, camera, dseed, idx * shard_px, shard_px,
+                budget=budget, passes=passes, **kw)
+        return _trace_shard(
+            scene, camera, dseed, idx * shard_px, shard_px, **kw)
 
     # check_vma=False: pallas_call out_shapes carry no vma info, and the
     # body is collective-free (pure per-shard compute), so there is nothing
@@ -1805,7 +1825,9 @@ def render_pallas_sharded(scene: Scene, camera: Camera, key, config, mesh, *,
                           unroll: Optional[int] = None,
                           interpret: Optional[bool] = None,
                           culling: Optional[bool] = None,
-                          block_size: int = DEFAULT_BLOCK) -> jnp.ndarray:
+                          block_size: int = DEFAULT_BLOCK,
+                          budget: Optional[int] = None,
+                          passes: Optional[int] = None) -> jnp.ndarray:
     """Megakernel render with pixels sharded over a 1-D device mesh.
 
     Forward rendering is embarrassingly parallel over pixels (SURVEY.md §2
@@ -1825,7 +1847,15 @@ def render_pallas_sharded(scene: Scene, camera: Camera, key, config, mesh, *,
     else:
         seed = jnp.asarray(key, jnp.int32)
     tile_sublanes, unroll = _resolve_tiling(scene, tile_sublanes, unroll)
+    # same compact-respawn defaults as render_pallas (SMEM scenes, spp>=16)
+    if passes is None:
+        passes = 10 if config.spp >= 16 else 0
+    if budget is None:
+        budget = config.spp
+    blk = _resolve_blk(scene, culling, block_size)
+    if culling is None:
+        blk = 0  # round-5: in-SMEM auto-culling off (see render_pallas)
     return _render_sharded_impl(
         scene, camera, seed, config=config, mesh=mesh,
         tile_sublanes=tile_sublanes, unroll=unroll, interp=bool(interpret),
-        blk=_resolve_blk(scene, culling, block_size))
+        blk=blk, budget=budget, passes=passes)

@@ -507,3 +507,30 @@ def test_compact_respawn_matches_single_launch():
                                        passes=passes))
         np.testing.assert_allclose(img, ref, atol=0,
                                    err_msg=f"budget={budget} passes={passes}")
+
+
+def test_sharded_compact_matches_single_device():
+    """The sharded path's straggler-compacted respawn (per-shard budgeted
+    passes + partition) must be bit-exact vs the single-device compact
+    render in a deterministic config — the compaction glue is shard-local."""
+    from rayz_tpu.ops.megakernel import render_pallas_sharded
+    from rayz_tpu.parallel import make_mesh
+
+    b = SceneBuilder()
+    ground = b.add_metallic(color=(0.8, 0.8, 0.9), fuzz=0.0)
+    ball = b.add_metallic(color=(0.9, 0.6, 0.3), fuzz=0.0)
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+    b.add_sphere((0.0, 0.0, -1.2), 0.5, ball)
+    scene = b.build(dtype=jnp.float32)
+    camera = rt.make_camera(width=16, height=16, vfov=60.0, focus_dist=1.0,
+                            defocus_angle=0.0, look_from=(0, 0.4, 1),
+                            look_at=(0, 0, -1))
+    config = rt.RenderConfig(spp=2, max_depth=3, t_min=1e-3, jitter=False)
+    mesh = make_mesh(jax.devices())
+    img_s = np.asarray(render_pallas_sharded(scene, camera, 0, config, mesh,
+                                             budget=2, passes=2,
+                                             tile_sublanes=8))
+    img_p = np.asarray(render_pallas(scene, camera, 0, config,
+                                     tile_sublanes=8, interpret=True,
+                                     passes=0))
+    np.testing.assert_array_equal(img_s, img_p)
