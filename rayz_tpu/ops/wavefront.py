@@ -866,11 +866,16 @@ def _render_wavefront_impl(scene: Scene, camera: Camera, key, *, spp: int,
                 # ONE full Morton sort where it pays: camera patches
                 # project onto wildly different world areas (perspective),
                 # so bounce-1 tiles need re-clustering — measured ~3x
-                # cheaper bounce-1 sweeps, worth the ~500 ms XLA sort at
-                # 2.4M rays. Later bounces inherit this clustering (a
-                # tile's rays hit nearby points), so a cheap STABLE
-                # dead-last partition (cumsum+scatter, a few ms) keeps
-                # live tiles dense without re-sorting.
+                # cheaper bounce-1 sweeps, worth the ~262 ms XLA sort at
+                # 2.36M rays (13% of the 64k render; an 8-ray-GROUP sort
+                # was tried to cut that 8x and measured 1.18 -> 0.88 —
+                # bounce-0 scatters adjacent camera rays onto far-apart
+                # geometry, so group keys are bad representatives and the
+                # lost clustering costs 3x what the cheaper sort saves).
+                # Later bounces inherit this clustering (a tile's rays hit
+                # nearby points), so a cheap STABLE dead-last partition
+                # (cumsum+scatter, a few ms) keeps live tiles dense
+                # without re-sorting.
                 order = jnp.argsort(_sort_key(o, d, alive, lo, span))
             else:
                 aliveb = alive > 0
