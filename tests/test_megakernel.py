@@ -534,3 +534,25 @@ def test_sharded_compact_matches_single_device():
                                      tile_sublanes=8, interpret=True,
                                      passes=0))
     np.testing.assert_array_equal(img_s, img_p)
+
+
+def test_compact_respawn_padding_and_forced_culling():
+    """Compact-respawn edge cases: (a) an image smaller than the slot
+    capacity (padding slots must not overwrite real pixels through the
+    final scatter — negative indices WRAP in JAX, mode='drop' alone does
+    not save you); (b) forced in-SMEM block culling under budget/resume."""
+    b = SceneBuilder()
+    m = b.add_metallic(color=(0.8, 0.7, 0.6), fuzz=0.0)
+    b.add_sphere((0, -100.5, -2), 100.0, m)
+    b.add_sphere((0, 0, -2), 0.5, m)
+    scene = b.build(dtype=jnp.float32)
+    cam = rt.make_camera(width=20, height=12, vfov=55.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1),
+                         dtype=jnp.float32)
+    cfg = rt.RenderConfig(spp=2, max_depth=4, jitter=False)
+    ref = np.asarray(render_pallas(scene, cam, 0, cfg, passes=0))
+    img = np.asarray(render_pallas(scene, cam, 0, cfg, budget=1, passes=4))
+    np.testing.assert_array_equal(img, ref)
+    img_c = np.asarray(render_pallas(scene, cam, 0, cfg, budget=1, passes=4,
+                                     culling=True))
+    np.testing.assert_allclose(img_c, ref, atol=1e-6)
