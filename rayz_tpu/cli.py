@@ -87,8 +87,11 @@ def main(argv=None) -> int:
         # progressive accumulation: n_chunks device calls, reference-format
         # progress line between them (renderer.zig:84: "\rProgress: X.XX%"
         # on stderr). Distribution is unchanged — chunk keys are folds of
-        # the run key and the chunks average with spp weights.
-        n_chunks = min(args.spp, 10)
+        # the run key and the chunks average with spp weights. Chunks stay
+        # at >= 16 spp where possible so each still rides the megakernel's
+        # straggler-compacted respawn (render_pallas passes default).
+        n_chunks = (max(1, min(10, args.spp // 16)) if args.spp >= 16
+                    else min(args.spp, 10))
         base, extra = divmod(args.spp, n_chunks)
         sizes = [base + (1 if i < extra else 0) for i in range(n_chunks)]
 
