@@ -98,8 +98,10 @@ def _check_recordable(scene: Scene, engine: str, allow_dense: bool) -> bool:
         why = ("the scene is empty or uses nested checker textures, which "
                "the record/replay estimator does not shade exactly")
     else:
-        why = ("the scene's record tables exceed the kernel's SMEM budget "
-               "(~13k primitives)")
+        why = ("the scene exceeds ~13k primitives; the record kernel can "
+               "stream such scenes (ops.diffkernel.record_paths stream=), "
+               "but the replay's gather does not yet scale to full-image "
+               "ray counts at this primitive count")
     msg = (f"engine={engine!r} cannot record this scene: {why}. ")
     if not allow_dense:
         raise ValueError(

@@ -52,6 +52,7 @@ from ..models.scene import (
     MAT_DIELECTRIC,
     MAT_METALLIC,
     Scene,
+    _round_up,
 )
 from .integrator import RenderConfig, _pixel_grid
 from .megakernel import (
@@ -83,6 +84,10 @@ from .megakernel import (
     _TIOS,
     _NROWS,
     _TNROWS,
+    _block_rows,
+    _pad_poison,
+    _sphere_aabbs,
+    _tri_aabbs,
     is_prng_key,
     scene_tables,
     tri_tables,
@@ -123,7 +128,8 @@ def fits_smem_record(scene: Scene) -> bool:
 
 
 def _record_kernel(*args, n_pad: int, m_pad: int, t_min: float,
-                   has_motion: bool, rs: int, unroll: int):
+                   has_motion: bool, rs: int, unroll: int, stream: int = 0,
+                   tri_base: int = 0):
     """Grid = (ray tiles, bounces); one step = one bounce of rs*128 rays.
 
     Making the bounce a grid dimension (instead of an in-kernel loop with
@@ -138,14 +144,38 @@ def _record_kernel(*args, n_pad: int, m_pad: int, t_min: float,
     ``rand_ref`` [1, 5, rs, 128]: THIS bounce's unit vector (3), cube-root
     radius factor, Schlick uniform — generated by jax.random host-side.
     ``idx_ref`` [1, rs, 128] i32 out: winning primitive, -1 on miss/dead
-    (spheres are [0, n_pad), triangles are n_pad + j).
+    (spheres are [0, n_pad), triangles are tri_base + j).
     ``st_ref`` [6, rs, 128] f32 scratch: current origin/direction, persistent
     across the bounce grid dimension; ``act_ref`` [rs, 128] i32 scratch.
+
+    ``stream > 0`` (round-5 prototype — the beyond-SMEM differentiable
+    path): the per-class tables live in HBM padded to a ``stream``-chunk
+    multiple, IN ORIGINAL ORDER (recorded indices must line up with
+    ``_diff_tables``' raw layout, so no Morton sort), with per-chunk
+    bounding-sphere rows resident in SMEM; each chunk's slice is DMA'd into
+    SMEM scratch only when the bound test passes (prune before DMA).
+    Per-bounce DMA traffic is tiles x chunks-touched x chunk bytes — the
+    bounce-synchronous grid keeps this affordable where streaming the
+    PERSISTENT recorder is not (PERF.md "bandwidth wall"): the recording
+    wavefront architecture, in its simplest form. ``tri_base`` is the RAW
+    padded sphere count (the triangle index offset in _diff_tables).
     """
     refs = list(args)
-    tab_ref = refs.pop(0) if n_pad else None
-    tri_ref = refs.pop(0) if m_pad else None
-    ray_ref, rand_ref, idx_ref, st_ref, act_ref = refs
+    if stream:
+        s_hbm = refs.pop(0) if n_pad else None
+        t_hbm = refs.pop(0) if m_pad else None
+        s_cbnd = refs.pop(0) if n_pad else None
+        t_cbnd = refs.pop(0) if m_pad else None
+        ray_ref, rand_ref, idx_ref = refs[:3]
+        scr = refs[3:]
+        tab_ref = scr.pop(0) if n_pad else None
+        tri_ref = scr.pop(0) if m_pad else None
+        sem_ref = scr.pop(0)
+        st_ref, act_ref = scr
+    else:
+        tab_ref = refs.pop(0) if n_pad else None
+        tri_ref = refs.pop(0) if m_pad else None
+        ray_ref, rand_ref, idx_ref, st_ref, act_ref = refs
     f32 = jnp.float32
     i32 = jnp.int32
     shape = (rs, 128)
@@ -186,7 +216,7 @@ def _record_kernel(*args, n_pad: int, m_pad: int, t_min: float,
                 zf, zf,                      # packed kind/method/fuzz; ior
                 jnp.full(shape, -1, i32))    # winner index
 
-        def one_sphere(j, h):
+        def one_sphere(j, h, base=0):
             qb, bcx, bcy, bcz, bpk, bios, bj = h
             cx = tab_ref[_CX, j]
             cy = tab_ref[_CY, j]
@@ -214,13 +244,14 @@ def _record_kernel(*args, n_pad: int, m_pad: int, t_min: float,
             bcz = jnp.where(better, cze, bcz)
             bpk = jnp.where(better, tab_ref[_PKF, j], bpk)
             bios = jnp.where(better, tab_ref[_IOS, j], bios)
-            bj = jnp.where(better, j, bj)
+            bj = jnp.where(better, base + j, bj)
             return qb, bcx, bcy, bcz, bpk, bios, bj
 
-        def one_triangle(j, h):
+        def one_triangle(j, h, base=0):
             """Plane-then-barycentric test (megakernel one_triangle in record
             form): the carry's center slots hold the PLANE NORMAL for a
-            triangle winner, and the index is offset by n_pad."""
+            triangle winner, and the index is offset by tri_base (the raw
+            padded sphere count — _diff_tables' triangle row origin)."""
             qb, bcx, bcy, bcz, bpk, bios, bj = h
             tnx = tri_ref[_TNX, j]
             tny = tri_ref[_TNY, j]
@@ -248,24 +279,69 @@ def _record_kernel(*args, n_pad: int, m_pad: int, t_min: float,
             bcz = jnp.where(better, tnz, bcz)
             bpk = jnp.where(better, tri_ref[_TPKF, j], bpk)
             bios = jnp.where(better, tri_ref[_TIOS, j], bios)
-            bj = jnp.where(better, n_pad + j, bj)
+            bj = jnp.where(better, tri_base + base + j, bj)
             return qb, bcx, bcy, bcz, bpk, bios, bj
+
+        def _streamed_class(h, n_items, hbm_ref, cbnd_ref, scr_ref,
+                            sem_slot, one_fn):
+            """Chunked sweep over an HBM table in ORIGINAL order: per chunk,
+            a tile-wide bounding-sphere test (rows resident in SMEM) gates
+            the DMA + sweep; recorded indices are chunk-global."""
+            n_chunks = n_items // stream
+
+            def chunk_body(c, h):
+                qb = h[0]
+                bx = cbnd_ref[0, c]
+                by = cbnd_ref[1, c]
+                bz = cbnd_ref[2, c]
+                ccb = cbnd_ref[3, c]
+                hb = dx * bx + dy * by + dz * bz - d_dot_o
+                ob = ox * bx + oy * by + oz * bz
+                disc = hb * hb - a * (ccb - 2.0 * ob + o2)
+                rtb = jnp.sqrt(disc)  # NaN on miss -> compares false
+                possible = active & (hb - rtb < qb) & (hb + rtb >= tmin_a)
+
+                def run(h):
+                    cp = pltpu.make_async_copy(
+                        hbm_ref.at[:, pl.ds(c * stream, stream)], scr_ref,
+                        sem_ref.at[sem_slot])
+                    cp.start()
+                    cp.wait()
+
+                    def group(i, h):
+                        for k in range(unroll):
+                            h = one_fn(unroll * i + k, h, base=c * stream)
+                        return h
+
+                    return jax.lax.fori_loop(0, stream // unroll, group, h)
+
+                return jax.lax.cond(jnp.any(possible), run, lambda h: h, h)
+
+            return jax.lax.fori_loop(0, n_chunks, chunk_body, h)
 
         h = hit0
         if n_pad:
-            def sphere_body(i, h):
-                for k in range(unroll):
-                    h = one_sphere(unroll * i + k, h)
-                return h
-            h = jax.lax.fori_loop(
-                0, (n_pad + unroll - 1) // unroll, sphere_body, h)
+            if stream:
+                h = _streamed_class(h, n_pad, s_hbm, s_cbnd, tab_ref, 0,
+                                    one_sphere)
+            else:
+                def sphere_body(i, h):
+                    for k in range(unroll):
+                        h = one_sphere(unroll * i + k, h)
+                    return h
+                h = jax.lax.fori_loop(
+                    0, (n_pad + unroll - 1) // unroll, sphere_body, h)
         if m_pad:
-            def tri_body(i, h):
-                for k in range(unroll):
-                    h = one_triangle(unroll * i + k, h)
-                return h
-            h = jax.lax.fori_loop(
-                0, (m_pad + unroll - 1) // unroll, tri_body, h)
+            if stream:
+                h = _streamed_class(h, m_pad, t_hbm, t_cbnd, tri_ref, 1,
+                                    one_triangle)
+            else:
+                def tri_body(i, h):
+                    for k in range(unroll):
+                        h = one_triangle(unroll * i + k, h)
+                    return h
+                h = jax.lax.fori_loop(
+                    0, (m_pad + unroll - 1) // unroll, tri_body, h)
         qb, bcx, bcy, bcz, bpk, bios, bj = h
 
         hit = qb < _BIG
@@ -277,9 +353,11 @@ def _record_kernel(*args, n_pad: int, m_pad: int, t_min: float,
         pz_ = oz + ts * dz
 
         # outward normal: sphere = p - c; triangle = the plane normal carried
-        # in the center slots (winner class from the index offset).
+        # in the center slots (winner class from the index offset; tri_base
+        # is the RAW sphere count — with streaming the sphere table pads
+        # further, but poisoned columns never win, so raw-vs-padded is safe).
         if m_pad and n_pad:
-            is_tri = bj >= n_pad
+            is_tri = bj >= tri_base
             nx = jnp.where(is_tri, bcx, px_ - bcx)
             ny = jnp.where(is_tri, bcy, py_ - bcy)
             nz = jnp.where(is_tri, bcz, pz_ - bcz)
@@ -377,9 +455,16 @@ def _record_kernel(*args, n_pad: int, m_pad: int, t_min: float,
         act_ref[...] = cont.astype(i32)
 
 
+#: Streamed-record chunk size (primitives per HBM->SMEM DMA when the scene
+#: exceeds the record kernel's SMEM budget). 2048 keeps the two padded
+#: chunk scratch buffers (24 rows x chunk x 4 B each) well under SMEM.
+RECORD_STREAM_CHUNK = 2048
+
+
 def record_paths(scene: Scene, origin, direction, time, rand, *,
                  max_depth: int, t_min: float, tile_sublanes: int = 16,
-                 unroll: int = 8, interpret=False) -> jnp.ndarray:
+                 unroll: int = 8, interpret=False,
+                 stream=None) -> jnp.ndarray:
     """Trace rays through the scene, returning per-bounce winner indices
     [max_depth, R] (i32; -1 = miss/dead, spheres in [0, N_pad), triangles at
     N_pad + j). Non-differentiable by construction: all inputs pass through
@@ -388,21 +473,26 @@ def record_paths(scene: Scene, origin, direction, time, rand, *,
     ``rand`` is [max_depth, 5, R]: rows 0-2 a unit vector, row 3 the
     cube-root radius factor u^(1/3), row 4 the Schlick uniform. R must be a
     multiple of tile_sublanes*128 (the caller pads).
+
+    ``stream`` (default None = auto): scenes beyond the SMEM budget record
+    with HBM-streamed table chunks behind resident chunk bounds — the
+    beyond-13k differentiable path (round-5 prototype; see the kernel
+    docstring and PERF.md's "bandwidth wall" section for why this
+    bounce-synchronous recorder can stream where the persistent one
+    cannot). Pass an int to force a chunk size, 0 to force in-SMEM.
     """
     rs = tile_sublanes
     r_total = origin.shape[0]
     nsub = r_total // 128
     assert nsub * 128 == r_total and nsub % rs == 0, "caller must pad R"
-    if not fits_smem_record(scene):
-        n_pad_ = int(scene.sphere_radius.shape[0]) if scene.n_spheres else 0
-        m_pad_ = int(scene.tri_material.shape[0]) if scene.n_triangles else 0
-        raise ValueError(
-            f"record kernel scene tables need "
-            f"{4 * (_NROWS * n_pad_ + _TNROWS * m_pad_)} bytes of SMEM "
-            f"(> budget: {n_pad_} padded spheres + {m_pad_} padded "
-            "triangles). Use the dense differentiable path "
-            "(pixel_loss(engine='dense') / rayz_tpu.render) for scenes this "
-            "large.")
+    if stream is None:
+        stream = 0 if fits_smem_record(scene) else RECORD_STREAM_CHUNK
+    if stream:
+        assert stream % unroll == 0 and stream % 128 == 0
+        if interpret is True:
+            # the streamed path uses pltpu DMAs, which plain interpret mode
+            # cannot emulate — upgrade to the TPU-semantics interpreter
+            interpret = pltpu.InterpretParams()
     n_tiles = nsub // rs
     # The kernel always runs f32 (the discrete winner indices it produces are
     # dtype-insensitive); f64 scenes cast at this non-differentiable boundary.
@@ -416,18 +506,65 @@ def record_paths(scene: Scene, origin, direction, time, rand, *,
 
     n_pad = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
     m_pad = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
-    # The unroll groups read one full group past a partial tail, and the
-    # recorded indices must line up with _diff_tables' raw padded counts —
-    # so instead of padding the tables (which would shift the triangle index
-    # offset), shrink unroll until it divides both class counts (builder
-    # scenes are padded to multiples of 8, the default).
-    while unroll > 1 and ((n_pad % unroll) or (m_pad % unroll)):
-        unroll //= 2
+    tri_base = n_pad  # _diff_tables' triangle row origin (RAW padded count)
+    if not stream:
+        # The unroll groups read one full group past a partial tail, and
+        # the recorded indices must line up with _diff_tables' raw padded
+        # counts — so instead of padding the tables (which would shift the
+        # triangle index offset), shrink unroll until it divides both class
+        # counts (builder scenes are padded to multiples of 8, the default).
+        while unroll > 1 and ((n_pad % unroll) or (m_pad % unroll)):
+            unroll //= 2
     tabs = []
-    if n_pad:
-        tabs.append(sg(scene_tables(scene)))
-    if m_pad:
-        tabs.append(sg(tri_tables(scene)))
+    in_specs = []
+    scratch = [
+        pltpu.VMEM((6, rs, 128), jnp.float32),  # origin/direction
+        pltpu.VMEM((rs, 128), jnp.int32),       # active mask
+    ]
+    if stream:
+        # HBM tables in ORIGINAL order, padded to a chunk multiple with
+        # poisoned columns; resident per-chunk bounding-sphere rows; SMEM
+        # chunk scratch + DMA semaphores. Streamed indices are chunk-global
+        # against the RAW table layout, so the replay needs no remap.
+        cbnds = []
+        if n_pad:
+            stab = sg(scene_tables(scene))
+            n_pad = _round_up(n_pad, stream)
+            stab = _pad_poison(stab, n_pad, _CCMR2)
+            lo, hi = _sphere_aabbs(scene)
+            pad3 = ((0, n_pad - lo.shape[0]), (0, 0))
+            valid = jnp.pad(scene.sphere_valid, (0, n_pad - lo.shape[0]))
+            cbnds.append(_block_rows(jnp.pad(lo, pad3), jnp.pad(hi, pad3),
+                                     valid, stream))
+            rows_pad = _round_up(stab.shape[0], 8)
+            tabs.append(jnp.pad(stab, ((0, rows_pad - stab.shape[0]),
+                                       (0, 0))))
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            scratch.insert(0, pltpu.SMEM((rows_pad, stream), jnp.float32))
+        if m_pad:
+            ttab = sg(tri_tables(scene))
+            m_pad = _round_up(m_pad, stream)
+            ttab = _pad_poison(ttab, m_pad, _TG1V)
+            lo, hi = _tri_aabbs(scene)
+            pad3 = ((0, m_pad - lo.shape[0]), (0, 0))
+            valid = jnp.pad(scene.tri_valid, (0, m_pad - lo.shape[0]))
+            cbnds.append(_block_rows(jnp.pad(lo, pad3), jnp.pad(hi, pad3),
+                                     valid, stream))
+            rows_pad = _round_up(ttab.shape[0], 8)
+            tabs.append(jnp.pad(ttab, ((0, rows_pad - ttab.shape[0]),
+                                       (0, 0))))
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            scratch.insert(1 if n_pad else 0,
+                           pltpu.SMEM((rows_pad, stream), jnp.float32))
+        tabs.extend(cbnds)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(cbnds)
+        scratch.insert(len(scratch) - 2, pltpu.SemaphoreType.DMA((2,)))
+    else:
+        if n_pad:
+            tabs.append(sg(scene_tables(scene)))
+        if m_pad:
+            tabs.append(sg(tri_tables(scene)))
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * len(tabs)
     rays = jnp.stack([
         sg(origin[:, 0]).reshape(nsub, 128),
         sg(origin[:, 1]).reshape(nsub, 128),
@@ -442,12 +579,12 @@ def record_paths(scene: Scene, origin, direction, time, rand, *,
     kern = functools.partial(
         _record_kernel, n_pad=n_pad, m_pad=m_pad,
         t_min=t_min, has_motion=scene.has_motion,
-        rs=rs, unroll=unroll)
+        rs=rs, unroll=unroll, stream=stream, tri_base=tri_base)
 
     idx = pl.pallas_call(
         kern,
         grid=(n_tiles, max_depth),  # bounce innermost: scratch carries state
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * len(tabs) + [
+        in_specs=in_specs + [
             pl.BlockSpec((7, rs, 128), lambda i, b: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 5, rs, 128), lambda i, b: (b, 0, i, 0),
@@ -456,10 +593,7 @@ def record_paths(scene: Scene, origin, direction, time, rand, *,
         out_shape=jax.ShapeDtypeStruct((max_depth, nsub, 128), jnp.int32),
         out_specs=pl.BlockSpec((1, rs, 128), lambda i, b: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((6, rs, 128), jnp.float32),  # origin/direction
-            pltpu.VMEM((rs, 128), jnp.int32),       # active mask
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*tabs, rays, randk)
     return idx.reshape(max_depth, r_total)
@@ -767,10 +901,17 @@ def render_diff_flat(scene: Scene, camera: Camera, key, px, py, *, spp: int,
     # Checkpoint each sample pass, SAVING the recorded winner indices (depth x
     # R i32, ~4*depth bytes/ray/pass) so the backward sweep re-derives rays
     # and randoms from the pass key but never re-runs the record kernel —
-    # the most expensive piece of a pass.
-    policy = jax.checkpoint_policies.save_only_these_names("record_idx")
-    acc, _ = jax.lax.scan(jax.checkpoint(sample_pass, policy=policy), acc0,
-                          jax.random.split(key, spp))
+    # the most expensive piece of a pass. The TPU-semantics interpreter
+    # (used off-TPU for the STREAMED record kernel's DMAs) injects ordered
+    # IO effects that jax.checkpoint cannot partial-eval, so interpreted
+    # runs skip the remat wrapper (test-scale workloads don't need it).
+    interp_stream = bool(interpret) and not fits_smem_record(scene)
+    if interp_stream or isinstance(interpret, pltpu.InterpretParams):
+        body = sample_pass
+    else:
+        policy = jax.checkpoint_policies.save_only_these_names("record_idx")
+        body = jax.checkpoint(sample_pass, policy=policy)
+    acc, _ = jax.lax.scan(body, acc0, jax.random.split(key, spp))
     return acc[:n_px] / float(spp)
 
 

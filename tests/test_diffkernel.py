@@ -255,11 +255,13 @@ def test_pixel_loss_recorded_triangle_scene_grads():
 
 
 def test_record_smem_guard_and_dense_fallback():
-    """An oversized scene must raise a CLEAR error from the recorded engine
-    (no opaque Mosaic failure). pixel_loss(engine='recorded') must REFUSE
-    such a scene by default — the dense degrade is a ~100x asymptotic
-    slowdown, never silent (round-4 verdict #3) — and with allow_dense=True
-    must warn and match engine='dense' exactly."""
+    """pixel_loss(engine='recorded') must REFUSE an oversized scene by
+    default — the dense degrade is a ~100x asymptotic slowdown, never
+    silent (round-4 verdict #3) — and with allow_dense=True must warn and
+    match engine='dense' exactly. (render_diff itself now STREAMS such
+    scenes — see test_streamed_record_beyond_smem — but the training API
+    keeps the explicit gate until the replay's gather scales to full-image
+    ray counts at large P.)"""
     import pytest
     from rayz_tpu.ops.diffkernel import fits_smem_record
 
@@ -277,8 +279,6 @@ def test_record_smem_guard_and_dense_fallback():
     assert not fits_smem_record(big)
 
     cfg = rt.RenderConfig(spp=1, max_depth=2, jitter=False)
-    with pytest.raises(ValueError, match="SMEM"):
-        render_diff(big, cam, 0, cfg, interpret=True)
 
     small = rt.make_camera(width=8, height=8, vfov=55.0, focus_dist=1.0,
                            look_from=(0, 0, 0), look_at=(0, 0, -1))
@@ -290,7 +290,7 @@ def test_record_smem_guard_and_dense_fallback():
     with pytest.raises(ValueError, match="allow_dense"):
         pixel_loss(params, big, small, key, target, cfg, "recorded")
     for engine in ("recorded", "recorded-pp"):
-        with pytest.raises(ValueError, match="SMEM"):
+        with pytest.raises(ValueError, match="13k primitives"):
             jax.value_and_grad(pixel_loss)(
                 params, big, small, key, target, cfg, engine)
 
@@ -317,3 +317,70 @@ def test_record_smem_guard_and_dense_fallback():
     opt_state = optax.adam(1e-2).init(params)
     with pytest.raises(ValueError, match="allow_dense"):
         step(params, opt_state, big, small, key, target)
+
+
+def test_streamed_record_beyond_smem():
+    """Round-5 prototype: the bounce-indexed record kernel STREAMS its
+    tables from HBM for scenes beyond the SMEM budget (chunked, original
+    order, prune-before-DMA) — the beyond-13k differentiable path. The
+    recorded indices and the gradients through the replay must be
+    bit-identical to the in-SMEM recording (which the CPU interpreter can
+    still run at any size), on a mixed sphere+triangle scene, both at a
+    forced small chunk and at the auto chunk on a 14k-sphere scene."""
+    from rayz_tpu.diff import extract_params, inject_params
+    from rayz_tpu.models.camera import generate_rays
+    from rayz_tpu.ops.diffkernel import (_make_rand, fits_smem_record,
+                                         record_paths, replay_paths)
+    from rayz_tpu.ops.integrator import _pixel_grid
+
+    b = rt.SceneBuilder()
+    m = b.add_metallic(color=(0.8, 0.7, 0.6), fuzz=0.0)
+    b.add_sphere((0, -100.5, -2), 100.0, m)
+    b.add_sphere((0, 0, -2), 0.5, b.add_dielectric(1.5))
+    b.add_triangle((-1.4, 0.0, -2.5), (-0.6, 0.0, -2.5), (-1.0, 0.9, -2.5),
+                   b.add_diffuse(color=(0.7, 0.2, 0.2)))
+    scene = b.build(dtype=jnp.float32)
+    cam = rt.make_camera(width=16, height=16, vfov=55.0, focus_dist=1.0,
+                         look_from=(0, 0, 0), look_at=(0, 0, -1),
+                         dtype=jnp.float32)
+    px, py = _pixel_grid(cam)
+    pad = 2048 - px.shape[0]
+    px = jnp.concatenate([px, jnp.zeros((pad,), px.dtype)])
+    py = jnp.concatenate([py, jnp.zeros((pad,), py.dtype)])
+    o, d, tm = generate_rays(cam, px, py, jax.random.PRNGKey(0))
+    rand = _make_rand(jax.random.PRNGKey(1), 3, 2048, jnp.float32)
+
+    kw = dict(max_depth=3, t_min=1e-3, interpret=True)
+    idx0 = np.asarray(record_paths(scene, o, d, tm, rand, stream=0, **kw))
+    idx1 = np.asarray(record_paths(scene, o, d, tm, rand, stream=128, **kw))
+    np.testing.assert_array_equal(idx1, idx0)
+    n_sph = scene.sphere_radius.shape[0]
+    assert (idx0 >= n_sph).any(), "no triangle winner recorded"
+
+    # beyond the budget: 14k spheres, auto chunk
+    n = 14000
+    f32 = jnp.float32
+    rng = np.random.default_rng(0)
+    big = scene.replace(
+        sphere_center=jnp.asarray(rng.uniform(-8, 8, (n, 3)), f32),
+        sphere_velocity=jnp.zeros((n, 3), f32),
+        sphere_radius=jnp.full((n,), 0.15, f32),
+        sphere_material=jnp.zeros((n,), jnp.int32),
+        sphere_valid=jnp.ones((n,), bool), n_spheres=n)
+    assert not fits_smem_record(big)
+    idx_s = record_paths(big, o, d, tm, rand, stream=None, **kw)  # auto
+    idx_r = record_paths(big, o, d, tm, rand, stream=0, **kw)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+    assert (np.asarray(idx_s) >= 0).any()
+
+    def loss_with(idx, p):
+        rad = replay_paths(inject_params(big, p), o, d, tm, rand, idx,
+                           t_min=1e-3)
+        return jnp.mean((rad - 0.25) ** 2)
+
+    params = extract_params(big, ("tex_color", "sphere_center"))
+    g_s = jax.grad(lambda p: loss_with(idx_s, p))(params)
+    g_r = jax.grad(lambda p: loss_with(idx_r, p))(params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(g_s[k]), np.asarray(g_r[k]))
+    assert float(jnp.abs(g_s["tex_color"]).sum()) > 0
