@@ -82,26 +82,53 @@ def inject_params(scene: Scene, params: Dict[str, jnp.ndarray]) -> Scene:
     return scene.replace(**params)
 
 
-def _check_recordable(scene: Scene, engine: str, allow_dense: bool) -> bool:
+#: Per-bounce one-hot budget for the streamed-record replay: the XLA replay
+#: materializes an [R, P] one-hot in HBM, so engine="recorded" on a
+#: beyond-SMEM scene is allowed only while R * P * 4 bytes stays under this.
+REPLAY_ONEHOT_BUDGET = 512 * 1024 * 1024
+
+
+def _scene_rows(scene: Scene) -> int:
+    n = int(scene.sphere_radius.shape[0]) if scene.n_spheres > 0 else 0
+    m = int(scene.tri_material.shape[0]) if scene.n_triangles > 0 else 0
+    return n + m
+
+
+def _check_recordable(scene: Scene, engine: str, allow_dense: bool,
+                      n_px: Optional[int] = None) -> bool:
     """Static (trace-time) gate for the recorded engines. Returns True when
     the record kernel can run ``scene``; otherwise RAISES unless the caller
     opted into the dense fallback with ``allow_dense=True``, in which case
     it warns and returns False. The recorded->dense degrade is a ~100x
     asymptotic slowdown (O(R) -> O(R*N) backward) or an OOM, not a same-cost
     engine swap, so it must never happen silently (round-4 verdict #3 —
-    the same never-silently discipline as pathrec's leftover counter)."""
+    the same never-silently discipline as pathrec's leftover counter).
+
+    Beyond the record kernel's ~13k-primitive SMEM budget the bounce-indexed
+    recorder STREAMS its tables (round 5, diffkernel.record_paths), so
+    ``engine="recorded"`` stays available as long as the replay's per-bounce
+    [R, P] one-hot stays under ``REPLAY_ONEHOT_BUDGET`` — big scenes with
+    small inverse-rendering targets train today; big scenes at full-image
+    ray counts still need the Pallas gather lift (PERF.md)."""
     if engine not in ("recorded", "recorded-pp"):
         return False
     if fits_smem_record(scene) and supports_diff(scene):
         return True
+    if (engine == "recorded" and supports_diff(scene) and n_px is not None
+            and 4 * n_px * _scene_rows(scene) <= REPLAY_ONEHOT_BUDGET):
+        return True  # streamed record + affordable replay
     if not supports_diff(scene):
         why = ("the scene is empty or uses nested checker textures, which "
                "the record/replay estimator does not shade exactly")
+    elif engine == "recorded-pp":
+        why = ("the scene exceeds ~13k primitives; the persistent-path "
+               "recorder cannot stream (PERF.md bandwidth wall) — use "
+               "engine='recorded', whose kernel streams, if the image is "
+               "small enough for its replay")
     else:
-        why = ("the scene exceeds ~13k primitives; the record kernel can "
-               "stream such scenes (ops.diffkernel.record_paths stream=), "
-               "but the replay's gather does not yet scale to full-image "
-               "ray counts at this primitive count")
+        why = ("the scene exceeds ~13k primitives and the image has too "
+               "many pixels for the streamed-record replay's [R, P] "
+               "one-hot (budget 512 MB per bounce)")
     msg = (f"engine={engine!r} cannot record this scene: {why}. ")
     if not allow_dense:
         raise ValueError(
@@ -142,7 +169,8 @@ def pixel_loss(params, scene: Scene, camera: Camera, key, target,
     silently (see :func:`_check_recordable`).
     """
     fitted = inject_params(scene, params)
-    recordable = _check_recordable(scene, engine, allow_dense)
+    recordable = _check_recordable(scene, engine, allow_dense,
+                                   camera.height * camera.width)
     leftover = jnp.zeros((), jnp.int32)
     if engine == "recorded-pp" and recordable:
         img, leftover = render_diff_pp(fitted, camera, key, config,
@@ -206,7 +234,8 @@ def make_train_step(optimizer: optax.GradientTransformation, config: RenderConfi
     def _loss_grad_shard(params, scene, camera, key, px, py, tgt, weight):
         def local_loss(p):
             fitted = inject_params(scene, p)
-            recordable = _check_recordable(scene, engine, allow_dense)
+            recordable = _check_recordable(scene, engine, allow_dense,
+                                           camera.height * camera.width)
             left = jnp.zeros((), jnp.int32)
             if engine == "recorded-pp" and recordable:
                 dkey = jax.random.fold_in(key, jax.lax.axis_index(axis))

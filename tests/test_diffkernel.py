@@ -255,13 +255,14 @@ def test_pixel_loss_recorded_triangle_scene_grads():
 
 
 def test_record_smem_guard_and_dense_fallback():
-    """pixel_loss(engine='recorded') must REFUSE an oversized scene by
-    default — the dense degrade is a ~100x asymptotic slowdown, never
-    silent (round-4 verdict #3) — and with allow_dense=True must warn and
-    match engine='dense' exactly. (render_diff itself now STREAMS such
-    scenes — see test_streamed_record_beyond_smem — but the training API
-    keeps the explicit gate until the replay's gather scales to full-image
-    ray counts at large P.)"""
+    """The recorded training engines must never degrade to dense SILENTLY
+    (round-4 verdict #3): engine='recorded-pp' on a beyond-SMEM scene
+    refuses by default (its persistent recorder cannot stream — PERF.md
+    bandwidth wall), allow_dense=True warns and matches engine='dense'
+    exactly; engine='recorded' refuses only when the streamed-record
+    replay's [R, P] one-hot would blow its budget (big scene AND big
+    image) — with a small inverse-rendering target it records via the
+    streamed kernel and trains (round 5)."""
     import pytest
     from rayz_tpu.ops.diffkernel import fits_smem_record
 
@@ -286,19 +287,29 @@ def test_record_smem_guard_and_dense_fallback():
     key = jax.random.PRNGKey(3)
     target = jnp.zeros((8, 8, 3))
 
-    # default: refuse, naming the budget and the opt-out
+    # engine='recorded' + small target: the streamed record kernel runs and
+    # gradients are finite — no raise, no dense fallback
+    l_str, g_str = jax.value_and_grad(pixel_loss)(
+        params, big, small, key, target, cfg, "recorded")
+    assert np.isfinite(float(l_str))
+    assert np.isfinite(np.asarray(g_str["tex_color"])).all()
+
+    # recorded-pp: refuse by default, naming the opt-out
     with pytest.raises(ValueError, match="allow_dense"):
-        pixel_loss(params, big, small, key, target, cfg, "recorded")
-    for engine in ("recorded", "recorded-pp"):
-        with pytest.raises(ValueError, match="13k primitives"):
-            jax.value_and_grad(pixel_loss)(
-                params, big, small, key, target, cfg, engine)
+        pixel_loss(params, big, small, key, target, cfg, "recorded-pp")
+    with pytest.raises(ValueError, match="13k primitives"):
+        jax.value_and_grad(pixel_loss)(
+            params, big, small, key, target, cfg, "recorded-pp")
+    # recorded with an image too big for the one-hot budget: also refuses
+    from rayz_tpu.diff.inverse import _check_recordable
+    with pytest.raises(ValueError, match="one-hot"):
+        _check_recordable(big, "recorded", False, n_px=512 * 512)
 
     # allow_dense=True: warn loudly, then value and gradient must match
     # engine='dense' EXACTLY (same key, same graph).
     with pytest.warns(RuntimeWarning, match="dense"):
         l_rec, g_rec = jax.value_and_grad(pixel_loss)(
-            params, big, small, key, target, cfg, "recorded",
+            params, big, small, key, target, cfg, "recorded-pp",
             None, False, True)
     l_den, g_den = jax.value_and_grad(pixel_loss)(
         params, big, small, key, target, cfg, "dense")
@@ -313,7 +324,7 @@ def test_record_smem_guard_and_dense_fallback():
     from rayz_tpu.parallel import make_mesh
 
     step = make_train_step(optax.adam(1e-2), cfg, make_mesh(),
-                           engine="recorded")
+                           engine="recorded-pp")
     opt_state = optax.adam(1e-2).init(params)
     with pytest.raises(ValueError, match="allow_dense"):
         step(params, opt_state, big, small, key, target)
